@@ -1,0 +1,161 @@
+"""Unified typed configuration for models, verification, quantization and mesh.
+
+The reference scatters configuration over argparse CLIs, HF GenerationConfig
+kwargs and ad-hoc flags (SURVEY.md §5 "Config / flag system"); here a single
+set of dataclasses covers the whole engine.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Decoder-only transformer config covering Qwen2/2.5 and Llama-2/3 families.
+
+    Mirrors the fields of HF Qwen2Config/LlamaConfig that the reference models
+    rely on (ref: EAGLE-3H/eagle/model/modeling_llama_kv.py,
+    modeling_qwen2_kv.py), expressed once for the unified model stack.
+    """
+
+    vocab_size: int = 151936
+    hidden_size: int = 896
+    intermediate_size: int = 4864
+    num_layers: int = 24
+    num_heads: int = 14
+    num_kv_heads: int = 2
+    head_dim: Optional[int] = None  # defaults to hidden_size // num_heads
+    rope_theta: float = 1000000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = True
+    attention_bias: bool = True  # Qwen2 uses qkv bias; Llama does not
+    mlp_bias: bool = False
+    max_position_embeddings: int = 32768
+    dtype: jnp.dtype = jnp.bfloat16
+    # EOS handling lives with the model family
+    eos_token_id: int = 151645
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_heads
+
+    @staticmethod
+    def qwen2_05b(**kw) -> "ModelConfig":
+        """Qwen2.5-0.5B-Instruct geometry (the reference draft model,
+        ref: chain-of-thought-hub/gsm8k/eval_speculative_decoding_llm.py:63)."""
+        return ModelConfig(**kw)
+
+    @staticmethod
+    def qwen2_15b(**kw) -> "ModelConfig":
+        """Qwen2.5-1.5B-Instruct geometry."""
+        d = dict(hidden_size=1536, intermediate_size=8960, num_layers=28,
+                 num_heads=12, num_kv_heads=2, tie_word_embeddings=True)
+        d.update(kw)
+        return ModelConfig(**d)
+
+    @staticmethod
+    def qwen2_7b(**kw) -> "ModelConfig":
+        d = dict(hidden_size=3584, intermediate_size=18944, num_layers=28,
+                 num_heads=28, num_kv_heads=4, tie_word_embeddings=False)
+        d.update(kw)
+        return ModelConfig(**d)
+
+    @staticmethod
+    def qwen2_14b(**kw) -> "ModelConfig":
+        d = dict(hidden_size=5120, intermediate_size=13824, num_layers=48,
+                 num_heads=40, num_kv_heads=8, tie_word_embeddings=False,
+                 rms_norm_eps=1e-5)
+        d.update(kw)
+        return ModelConfig(**d)
+
+    @staticmethod
+    def qwen2_32b(**kw) -> "ModelConfig":
+        d = dict(hidden_size=5120, intermediate_size=27648, num_layers=64,
+                 num_heads=40, num_kv_heads=8, tie_word_embeddings=False,
+                 rms_norm_eps=1e-5)
+        d.update(kw)
+        return ModelConfig(**d)
+
+    @staticmethod
+    def qwen2_72b(**kw) -> "ModelConfig":
+        d = dict(hidden_size=8192, intermediate_size=29568, num_layers=80,
+                 num_heads=64, num_kv_heads=8, tie_word_embeddings=False,
+                 rms_norm_eps=1e-5)
+        d.update(kw)
+        return ModelConfig(**d)
+
+    @staticmethod
+    def llama3_8b(**kw) -> "ModelConfig":
+        d = dict(vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+                 num_layers=32, num_heads=32, num_kv_heads=8,
+                 rope_theta=500000.0, rms_norm_eps=1e-5,
+                 tie_word_embeddings=False, attention_bias=False,
+                 eos_token_id=128009)
+        d.update(kw)
+        return ModelConfig(**d)
+
+    @staticmethod
+    def tiny(vocab_size: int = 256, **kw) -> "ModelConfig":
+        """Tiny config for tests (random weights)."""
+        d = dict(vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
+                 num_layers=2, num_heads=4, num_kv_heads=2, dtype=jnp.float32,
+                 eos_token_id=vocab_size - 1)
+        d.update(kw)
+        return ModelConfig(**d)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """GPTQ-style weight-only quantization (ref treats this as a CUDA black box
+    via auto-gptq/optimum, SURVEY.md §2.6; here it is a first-class Pallas path)."""
+
+    bits: int = 8                # 8 or 4
+    group_size: int = 128        # per-group scales/zeros along the in-features axis
+    symmetric: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class VerifierConfig:
+    """Which acceptance rule to run and its knobs.
+
+    method: 'tokenwise' | 'blockwise' | 'hsd' | 'greedy'
+      - 'hsd' is the clever (smart-capping) single-pass form, the shipped
+        benchmark config (ref: eval_speculative_qwen_backward_clever.sh:11).
+    num_drafts: K independent drafts (multidraft recursive reject sampling,
+      ref: transformers/generation/utils.py:5287/5671). 1 = single draft.
+    parallel: True = K independent full drafts with prefix-match gating
+      (the benchmarked mode); False = striped-tree layout.
+    """
+
+    method: str = "hsd"
+    gamma: int = 10
+    num_drafts: int = 1
+    parallel: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh over which the target model is sharded.
+
+    Replaces the reference's layer-wise accelerate.dispatch_model placement
+    (SURVEY.md §2.5) with GSPMD tensor parallelism over ICI.
+    """
+
+    data: int = 1    # data-parallel axis (requests / training batch)
+    model: int = 1   # tensor-parallel axis (heads / ffn / vocab)
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.data, self.model)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    verifier: VerifierConfig = VerifierConfig()
+    max_new_tokens: int = 512
+    max_seq_len: int = 2048
+    temperature: float = 1.0
+    seed: int = 0

@@ -1,0 +1,90 @@
+"""Static preallocated KV cache with O(1) speculative rollback.
+
+Design (SURVEY.md §7 "Static shapes everywhere"): the reference's HF
+DynamicCache reallocates tensors every step and implements rollback by
+slicing + batch-row selection (`transformers/cache_utils.py:447-553`,
+`candidate_generator.py:713-770`); EAGLE's static KVCache
+(`EAGLE-3H/eagle/model/kv_cache.py`) preallocates and compacts in place —
+the right model for TPU. Here:
+
+  * buffers are fixed [L, B, S_max, H_kv, D] arrays; `length` is a device
+    scalar — the number of valid positions;
+  * append  = dynamic_update_slice at `length` (in place under jit with
+    donated buffers);
+  * rollback = set `length` lower; stale tail entries are dead because
+    attention masks by `length` and future appends overwrite them;
+  * multidraft row-select (the reference's `crop(..., selected_draft)`)
+    = gather one batch row and broadcast, also in place.
+
+Sharding: buffers carry a NamedSharding with H_kv on the model axis, so both
+append and rollback are purely local (no resharding) on every chip.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+
+
+class KVCache(NamedTuple):
+    k: jax.Array        # [L, B, S_max, H_kv, D]
+    v: jax.Array        # [L, B, S_max, H_kv, D]
+    length: jax.Array   # int32 scalar — valid positions (uniform over batch)
+    start: jax.Array    # int32 [B] — left-padding offset per row: cache slots
+    #                      [0, start) are dead (prompts are LEFT-padded into
+    #                      fixed-size buckets so every shape stays static);
+    #                      RoPE position of slot s is s - start.
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+
+def init_cache(cfg: ModelConfig, batch: int, max_len: int,
+               dtype=None) -> KVCache:
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim_)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.int32(0), start=jnp.zeros((batch,), jnp.int32))
+
+
+def append_layer(cache_k_l: jax.Array, cache_v_l: jax.Array, length: jax.Array,
+                 k_new: jax.Array, v_new: jax.Array):
+    """Write k_new/v_new [B, T, H_kv, D] at positions [length, length+T).
+
+    Called per layer inside the scan-over-layers; T is static.
+    """
+    start = (0, length, 0, 0)
+    k = jax.lax.dynamic_update_slice(cache_k_l, k_new.astype(cache_k_l.dtype), start)
+    v = jax.lax.dynamic_update_slice(cache_v_l, v_new.astype(cache_v_l.dtype), start)
+    return k, v
+
+
+def rollback(cache: KVCache, new_length: jax.Array) -> KVCache:
+    """Speculative rollback: truncate to `new_length` valid positions.
+
+    O(1): no data movement (ref equivalent: `_crop_past_key_values`,
+    candidate_generator.py:713-770)."""
+    return cache._replace(length=new_length.astype(jnp.int32))
+
+
+def select_draft_row(cache: KVCache, row: jax.Array) -> KVCache:
+    """Multidraft KV rollback: keep draft `row`'s KV in every batch slot
+    (ref equivalent: DynamicCache.crop(selected_draft), cache_utils.py:522-553).
+
+    Broadcasting the selected row keeps the batch shape static so the next
+    block's K-draft expansion needs no reallocation."""
+    k = jnp.broadcast_to(jax.lax.dynamic_slice_in_dim(cache.k, row, 1, axis=1),
+                         cache.k.shape)
+    v = jnp.broadcast_to(jax.lax.dynamic_slice_in_dim(cache.v, row, 1, axis=1),
+                         cache.v.shape)
+    start = jnp.broadcast_to(jax.lax.dynamic_slice_in_dim(cache.start, row, 1, 0),
+                             cache.start.shape)
+    return cache._replace(k=k, v=v, start=start)

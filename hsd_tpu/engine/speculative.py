@@ -1,0 +1,229 @@
+"""Speculative decode orchestration — the TPU-native counterpart of the
+reference's `_assisted_decoding` loop (`transformers/generation/utils.py:
+4555-5179`) and the draft-side `_sample` multigen loop (:3270-3480).
+
+Design (SURVEY.md §7): the whole generate runs ON DEVICE as a
+`lax.while_loop` over speculative blocks; each block is
+
+    draft (lax.scan of gamma single-token steps over K parallel draft rows)
+    -> one target forward over gamma+1 positions (all K rows batched)
+    -> vectorized verification kernel
+    -> commit + O(1) KV rollback (+ multidraft row-select)
+
+with exactly one host sync per generate call, not per block. All shapes are
+static: prompts are left-padded into buckets, gamma and K are config.
+
+Telemetry: per-block accepted counts / rounds are recorded into fixed-size
+arrays — the counterpart of the reference's `counts` dict (utils.py:4644-4647)
+used for block-efficiency stats.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EngineConfig, ModelConfig
+from ..models import transformer
+from ..ops.sampling import process_logits, sample
+from ..verify import verify
+from .kvcache import KVCache, init_cache, rollback, select_draft_row
+
+
+class GenerateResult(NamedTuple):
+    tokens: jax.Array        # [S_max] committed tokens incl. (padded) prompt
+    length: jax.Array        # int32 total committed length (incl. prompt pad)
+    prompt_len: jax.Array    # int32 bucket length of the prompt region
+    blocks: jax.Array        # int32 number of speculative blocks executed
+    accepts: jax.Array       # [max_blocks] int32 n_matches per block (-1 unused)
+    draft_lens: jax.Array    # [max_blocks] int32 drafted gamma per block
+    ncommit: jax.Array       # int32 committed new tokens
+
+
+def _draft_block(cfg: ModelConfig, params, cache: KVCache, last2, last1,
+                 key, gamma: int, temperature: float):
+    """Draft gamma tokens for each of the K cache rows (K parallel drafts,
+    ref `_sample` with multigen/parallel, utils.py:3359-3364).
+
+    last2/last1: int32 scalars — the two newest committed tokens. The draft
+    cache is kept at committed_length - 2 between blocks, because after a
+    fully-accepted block the final draft token's KV was never computed by the
+    draft model; the first draft step therefore (re)feeds two tokens —
+    idempotent when the first slot was already populated. (The reference
+    handles this by re-running the draft on the whole uncached suffix inside
+    `get_candidates`.)
+
+    Returns (draft_tokens [K, gamma], q [K, gamma, V], cache advanced).
+    """
+    K = cache.batch
+    keys = jax.random.split(key, gamma)
+
+    tok01 = jnp.stack([jnp.broadcast_to(last2, (K,)),
+                       jnp.broadcast_to(last1, (K,))], axis=1).astype(jnp.int32)
+    logits0, cache = transformer.forward(cfg, params, tok01, cache)
+    probs0 = process_logits(logits0[:, 1], temperature)          # [K, V]
+    x0 = sample(keys[0], probs0).astype(jnp.int32)               # [K]
+
+    def step(carry, k):
+        cache, tok = carry
+        logits, cache = transformer.forward(cfg, params, tok[:, None], cache)
+        probs = process_logits(logits[:, 0], temperature)        # [K, V]
+        nxt = sample(k, probs).astype(jnp.int32)                 # [K]
+        return (cache, nxt), (nxt, probs)
+
+    (cache, _), (toks, qs) = jax.lax.scan(step, (cache, x0), keys[1:])
+    draft_toks = jnp.concatenate([x0[:, None], toks.T], axis=1)  # [K, gamma]
+    q = jnp.concatenate([probs0[:, None], jnp.swapaxes(qs, 0, 1)], axis=1)
+    return draft_toks, q, cache
+
+
+def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
+                  engine: EngineConfig):
+    """Build a jitted speculative
+    `generate(params_draft, params_target, prompt, prompt_len, key)`.
+
+    prompt: [P_bucket] int32, LEFT-padded to a static bucket length.
+    prompt_len: int32 — actual prompt token count (pad = P_bucket - len).
+    Returns GenerateResult (device arrays; one host sync to read them).
+    """
+    v = engine.verifier
+    gamma, K = v.gamma, v.num_drafts
+    method = v.method
+    temp = engine.temperature
+    max_new = engine.max_new_tokens
+    max_blocks = max_new  # each block commits >= 1 token
+    eos = cfg_target.eos_token_id
+
+    def generate(params_draft, params_target, prompt: jax.Array,
+                 prompt_len: jax.Array, key: jax.Array) -> GenerateResult:
+        P = prompt.shape[0]
+        S = P + max_new + gamma + 2
+        start = jnp.broadcast_to(P - prompt_len, (K,)).astype(jnp.int32)
+        dcache = init_cache(cfg_draft, K, S)._replace(start=start)
+        tcache = init_cache(cfg_target, K, S)._replace(start=start)
+
+        # --- prefill ---------------------------------------------------
+        # Cache invariants between blocks: target holds committed-1 positions
+        # (the newest token is re-fed each block, mirroring the reference's
+        # crop-to-new_cur_len-1 bookkeeping, utils.py:5026); draft holds
+        # committed-2 (see _draft_block).
+        prompt_k = jnp.broadcast_to(prompt[None, :], (K, P))
+        _, dcache = transformer.forward(cfg_draft, params_draft,
+                                        prompt_k[:, :-2], dcache)
+        _, tcache = transformer.forward(cfg_target, params_target,
+                                        prompt_k[:, :-1], tcache)
+
+        tokens = jnp.zeros((S,), jnp.int32).at[:P].set(prompt)
+        accepts = jnp.full((max_blocks,), -1, jnp.int32)
+        dlens = jnp.full((max_blocks,), -1, jnp.int32)
+
+        def cond(state):
+            (_, length, done, _, _, _, _, _, blocks) = state
+            return (~done) & (length + gamma + 1 <= S) & (blocks < max_blocks) \
+                & (length - P < max_new)
+
+        def body(state):
+            (tokens, length, done, dcache, tcache, key, accepts, dlens,
+             blocks) = state
+            key, kd, kv = jax.random.split(key, 3)
+            last = tokens[length - 1]
+
+            # draft K rows of gamma tokens
+            draft_toks, q, dcache = _draft_block(
+                cfg_draft, params_draft, dcache, tokens[length - 2], last,
+                kd, gamma, temp)
+
+            # one target forward over [last] + draft for all K rows
+            tgt_in = jnp.concatenate(
+                [jnp.broadcast_to(last, (K, 1)).astype(jnp.int32), draft_toks],
+                axis=1)                                        # [K, gamma+1]
+            tlogits, tcache = transformer.forward(
+                cfg_target, params_target, tgt_in, tcache)
+            p = process_logits(tlogits, temp)                  # [K, gamma+1, V]
+
+            res = verify(method, kv, draft_toks, q, p)
+            n_commit = res.n_matches + 1
+
+            # commit tokens
+            posn = jnp.arange(tokens.shape[0])
+            src = jnp.take(res.tokens, jnp.clip(posn - length, 0, gamma), axis=0)
+            write = (posn >= length) & (posn < length + n_commit)
+            tokens = jnp.where(write, src, tokens)
+            new_length = length + n_commit
+
+            # EOS: done when any newly committed token is EOS
+            hit_eos = jnp.any(write & (tokens == eos))
+            done = done | hit_eos
+
+            # KV rollback: target holds new_length-1 positions, draft
+            # new_length-2 (see _draft_block); select the winning draft row
+            # for multidraft
+            dcache = rollback(dcache, new_length - 2)
+            tcache = rollback(tcache, new_length - 1)
+            if K > 1:
+                dcache = select_draft_row(dcache, res.draft_index)
+                tcache = select_draft_row(tcache, res.draft_index)
+
+            accepts = accepts.at[blocks].set(res.n_matches)
+            dlens = dlens.at[blocks].set(gamma)
+            return (tokens, new_length, done, dcache, tcache, key, accepts,
+                    dlens, blocks + 1)
+
+        state = (tokens, jnp.int32(P), jnp.bool_(False), dcache, tcache, key,
+                 accepts, dlens, jnp.int32(0))
+        (tokens, length, done, _, _, _, accepts, dlens, blocks) = \
+            jax.lax.while_loop(cond, body, state)
+
+        # clamp to the token budget (a full block can overshoot by <= gamma),
+        # then truncate at the first EOS in the generated region
+        length = jnp.minimum(length, P + max_new)
+        gen_pos = jnp.arange(tokens.shape[0])
+        is_eos = (tokens == eos) & (gen_pos >= P) & (gen_pos < length)
+        first_eos = jnp.where(jnp.any(is_eos), jnp.argmax(is_eos), length)
+        length = jnp.minimum(length, first_eos + 1)
+
+        return GenerateResult(tokens=tokens, length=length,
+                              prompt_len=jnp.int32(P), blocks=blocks,
+                              accepts=accepts, draft_lens=dlens,
+                              ncommit=length - P)
+
+    return jax.jit(generate)
+
+
+def make_autoregressive(cfg: ModelConfig, engine: EngineConfig):
+    """Plain AR sampling baseline (the reference's `_sample` /
+    `naivegenerate`, ea_model.py:368-462) — the decoding-speed denominator."""
+    temp = engine.temperature
+    max_new = engine.max_new_tokens
+    eos = cfg.eos_token_id
+
+    def generate(params, prompt: jax.Array, prompt_len: jax.Array,
+                 key: jax.Array):
+        P = prompt.shape[0]
+        S = P + max_new + 1
+        cache = init_cache(cfg, 1, S)._replace(
+            start=jnp.broadcast_to(P - prompt_len, (1,)).astype(jnp.int32))
+        _, cache = transformer.forward(cfg, params, prompt[None, :-1], cache)
+        tokens = jnp.zeros((S,), jnp.int32).at[:P].set(prompt)
+
+        def cond(state):
+            tokens, length, done, cache, key = state
+            return (~done) & (length - P < max_new)
+
+        def body(state):
+            tokens, length, done, cache, key = state
+            key, ks = jax.random.split(key)
+            logits, cache = transformer.forward(
+                cfg, params, tokens[length - 1][None, None], cache)
+            probs = process_logits(logits[0, 0], temp)
+            nxt = sample(ks, probs).astype(jnp.int32)
+            tokens = tokens.at[length].set(nxt)
+            return (tokens, length + 1, done | (nxt == eos), cache, key)
+
+        state = (tokens, jnp.int32(P), jnp.bool_(False), cache, key)
+        tokens, length, _, _, _ = jax.lax.while_loop(cond, body, state)
+        return tokens, length
+
+    return jax.jit(generate)

@@ -1,0 +1,174 @@
+"""Unified Qwen2/Llama decoder in pure functional JAX.
+
+One model stack serves draft and target (the reference carries three:
+stock HF, patched HF, and vendored EAGLE models — SURVEY.md §7). Parameters
+are a plain pytree with all decoder layers STACKED on a leading axis and the
+forward pass runs `lax.scan` over layers: one compiled layer body regardless
+of depth (fast compiles, XLA-friendly), the standard TPU idiom.
+
+Supports:
+  * GQA attention with RoPE (NeoX rotate-half), optional qkv bias (Qwen2),
+  * SwiGLU MLP, RMSNorm (fp32 accumulation),
+  * external static KV cache (engine/kvcache.py) with length-masked attention,
+  * optional additive attention bias (the EAGLE tree mask becomes a bias,
+    ref: modeling_llama_kv.py:1036-1042),
+  * per-matmul pluggable quantized weights (ops/gptq.py pytrees).
+
+Weights are bf16 by default; attention logits, softmax and norms accumulate
+in fp32 (MXU-friendly).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..engine.kvcache import KVCache, append_layer
+from ..ops.linear import apply_linear, init_dense
+
+
+class ModelParams(NamedTuple):
+    """Pytree of model weights. `layers` leaves carry a leading [L] axis."""
+
+    embed: Any                  # [V, D]
+    layers: Dict[str, Any]
+    final_norm: jax.Array       # [D]
+    lm_head: Any                # [D, V] or None when tied to embed
+
+
+def init_params(cfg: ModelConfig, key: jax.Array) -> ModelParams:
+    """Random init (tests / benchmarks with synthetic weights)."""
+    D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
+    keys = iter(jax.random.split(key, 16))
+
+    def dense(k, shape, scale=None):
+        scale = scale if scale is not None else (shape[0] ** -0.5)
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    layers = dict(
+        ln1=jnp.ones((L, D), jnp.float32),
+        ln2=jnp.ones((L, D), jnp.float32),
+        wq=dense(next(keys), (L, D, H * hd)),
+        wk=dense(next(keys), (L, D, Hkv * hd)),
+        wv=dense(next(keys), (L, D, Hkv * hd)),
+        wo=dense(next(keys), (L, H * hd, D)),
+        wgate=dense(next(keys), (L, D, F)),
+        wup=dense(next(keys), (L, D, F)),
+        wdown=dense(next(keys), (L, F, D)),
+    )
+    if cfg.attention_bias:
+        layers.update(
+            bq=jnp.zeros((L, H * hd), cfg.dtype),
+            bk=jnp.zeros((L, Hkv * hd), cfg.dtype),
+            bv=jnp.zeros((L, Hkv * hd), cfg.dtype),
+        )
+    embed = dense(next(keys), (cfg.vocab_size, D), scale=0.02)
+    lm_head = None if cfg.tie_word_embeddings else dense(next(keys), (D, cfg.vocab_size))
+    return ModelParams(embed=embed, layers=layers,
+                       final_norm=jnp.ones((D,), jnp.float32), lm_head=lm_head)
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """NeoX-style rotate-half RoPE. x: [B, T, H, d], positions: [B, T]."""
+    d = x.shape[-1]
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [B, T, d/2]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _attention(q, k, v, q_index, kv_length, start, attn_bias):
+    """q: [B,T,H,d]; k,v: [B,S,Hkv,d] (full cache buffers).
+
+    Causal + cache-validity masking by cache index — the static-shape
+    replacement for the reference's dynamic cache slicing. `q_index` [B, T]
+    are cache-slot indices of the queries; `start` [B] marks dead left-pad
+    slots. attn_bias, if given, is [T, T] additive bias applied on the
+    self-block (used for tree attention).
+    """
+    B, T, H, d = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    rep = H // Hkv
+    kr = jnp.repeat(k, rep, axis=2)
+    vr = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum("bthd,bshd->bhts", q, kr,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (d ** -0.5)
+    key_pos = jnp.arange(S)[None, None, None, :]
+    qp = q_index[:, None, :, None]  # [B,1,T,1]
+    mask = (key_pos <= qp) & (key_pos >= start[:, None, None, None])
+    if attn_bias is not None:
+        # Tree attention: attn_bias is a [T, T] additive bias over the new
+        # tokens (the draft trie); it lands on the keys written this call,
+        # i.e. cache positions [kv_length, kv_length + T).
+        start = kv_length
+        kidx = jnp.clip(jnp.arange(S) - start, 0, T - 1)
+        self_block = (jnp.arange(S)[None, :] >= start) & (jnp.arange(S)[None, :] < start + T)
+        bias = jnp.where(self_block, attn_bias[:, kidx], 0.0)
+        scores = scores + bias[None, None, :, :]
+    # large-negative (not -inf) so fully-masked pad rows stay finite: a NaN
+    # softmax row would poison every later layer through 0 * NaN in the
+    # value matmul.
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, vr)
+    return out
+
+
+def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
+            cache: KVCache, attn_bias: Optional[jax.Array] = None,
+            positions: Optional[jax.Array] = None
+            ) -> Tuple[jax.Array, KVCache]:
+    """Run the decoder over `tokens` [B, T] appending to `cache`.
+
+    Returns (logits [B, T, V] float32, updated cache with length += T).
+    """
+    B, T = tokens.shape
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
+    q_index = cache.length + jnp.arange(T)[None, :].astype(jnp.int32)
+    q_index = jnp.broadcast_to(q_index, (B, T))
+    if positions is None:
+        # RoPE positions discount the dead left-pad region
+        positions = jnp.maximum(q_index - cache.start[:, None], 0)
+
+    x = jnp.take(params.embed, tokens, axis=0).astype(cfg.dtype)
+
+    def layer_fn(x, inp):
+        lp, k_buf, v_buf = inp
+        h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        q = apply_linear(lp["wq"], h, lp.get("bq"))
+        k = apply_linear(lp["wk"], h, lp.get("bk"))
+        v = apply_linear(lp["wv"], h, lp.get("bv"))
+        q = q.reshape(B, T, H, hd)
+        k = k.reshape(B, T, Hkv, hd)
+        v = v.reshape(B, T, Hkv, hd)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+        k_buf, v_buf = append_layer(k_buf, v_buf, cache.length, k, v)
+        att = _attention(q, k_buf, v_buf, q_index, cache.length, cache.start,
+                         attn_bias)
+        x = x + apply_linear(lp["wo"], att.reshape(B, T, H * hd))
+        h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+        ff = jax.nn.silu(apply_linear(lp["wgate"], h)) * apply_linear(lp["wup"], h)
+        x = x + apply_linear(lp["wdown"], ff)
+        return x, (k_buf, v_buf)
+
+    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (params.layers, cache.k, cache.v))
+    x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    head = params.embed.T if params.lm_head is None else params.lm_head
+    logits = apply_linear(head, x).astype(jnp.float32)
+    new_cache = cache._replace(k=k_new, v=v_new, length=cache.length + T)
+    return logits, new_cache

@@ -1,0 +1,128 @@
+"""Pallas TPU kernel: GPTQ weight-only dequantization fused with matmul.
+
+The speed-of-light constraint for the decode regime (batch 1-32 rows) is HBM
+bandwidth on the WEIGHT stream: reading int8 codes moves 2x less than bf16
+(4x for int4). The kernel streams weight tiles HBM->VMEM, dequantizes
+per-group in VMEM and feeds the MXU — the fused equivalent of the exllama
+CUDA kernels the reference installs via `pip install optimum`
+(SURVEY.md §2.6; nothing to port, designed TPU-first).
+
+Layout contract (matches ops/linear.QuantizedLinear):
+  qweight [in, out] int8 codes, scales [in/gs, out], zeros [in/gs, out]|None
+  y[n, o] = sum_i x[n, i] * (code[i, o] - zero[g(i), o]) * scale[g(i), o]
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .linear import QuantizedLinear
+
+
+def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, groups_per_blk,
+            gs, n_in_blocks):
+    """Grid (out_blocks, in_blocks); accumulate x_blk @ dequant(w_blk)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    codes = w_ref[:].astype(jnp.float32)           # [in_blk, out_blk]
+    in_blk, out_blk = codes.shape
+    codes = codes.reshape(groups_per_blk, gs, out_blk)
+    scale = s_ref[:].astype(jnp.float32)           # [groups_per_blk, out_blk]
+    if z_ref is not None:
+        z = z_ref[:].astype(jnp.float32)
+        w = (codes - z[:, None, :]) * scale[:, None, :]
+    else:
+        w = codes * scale[:, None, :]
+    w = w.reshape(in_blk, out_blk)
+    acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(i == n_in_blocks - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_out", "block_in", "interpret"))
+def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 512,
+                block_in: int = 512, interpret: bool = False) -> jax.Array:
+    """y = x @ dequant(qw). x: [..., in]; returns [..., out] in x.dtype.
+
+    Rows are padded to the f32 sublane (8); in/out must divide by the block
+    sizes (model dims are multiples of 128 in practice — callers fall back to
+    the XLA path otherwise).
+    """
+    din, dout = qw.qweight.shape
+    groups = qw.scales.shape[0]
+    gs = din // groups
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, din)
+    n = x2.shape[0]
+    npad = max(8, ((n + 7) // 8) * 8)
+    if npad != n:
+        x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
+
+    block_in = min(block_in, din)
+    block_out = min(block_out, dout)
+    assert din % block_in == 0 and dout % block_out == 0
+    assert block_in % gs == 0, (block_in, gs)
+    gpb = block_in // gs
+    n_in_blocks = din // block_in
+    grid = (dout // block_out, n_in_blocks)
+
+    in_specs = [
+        pl.BlockSpec((npad, block_in), lambda o, i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_in, block_out), lambda o, i: (i, o),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpb, block_out), lambda o, i: (i, o),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x2, qw.qweight, qw.scales]
+    if qw.zeros is not None:
+        in_specs.append(pl.BlockSpec((gpb, block_out), lambda o, i: (i, o),
+                                     memory_space=pltpu.VMEM))
+        args.append(qw.zeros)
+        kern = functools.partial(_kernel, groups_per_blk=gpb, gs=gs,
+                                 n_in_blocks=n_in_blocks)
+    else:
+        def kern(x_ref, w_ref, s_ref, o_ref, acc_ref):
+            _kernel(x_ref, w_ref, s_ref, None, o_ref, acc_ref,
+                    groups_per_blk=gpb, gs=gs, n_in_blocks=n_in_blocks)
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((npad, block_out), lambda o, i: (0, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, dout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((npad, block_out), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * din * dout,
+            bytes_accessed=din * dout + npad * din * 4 + npad * dout * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+    return out[:n].reshape(*lead, dout)
+
+
+def pallas_supported(x: jax.Array, qw: QuantizedLinear) -> bool:
+    """Static check whether the Pallas path handles these shapes."""
+    din, dout = qw.qweight.shape
+    groups = qw.scales.shape[0]
+    gs = din // groups
+    if qw.qweight.dtype != jnp.int8:
+        return False
+    if din % 128 or dout % 128 or gs % 128:
+        return False
+    return True

@@ -1,0 +1,116 @@
+"""Linear layers: dense or GPTQ weight-only quantized.
+
+The reference consumes GPTQ-INT8 checkpoints through auto-gptq's CUDA kernels
+as a black box (SURVEY.md §2.6). Here quantized matmul is a first-class
+citizen: weights are a `QuantizedLinear` pytree (int8/int4 codes + per-group
+scales/zeros) that drops into the same `apply_linear` call sites as dense
+arrays — including under `lax.scan` over stacked layers.
+
+Two execution paths:
+  * XLA path (below): dequantize fused into the matmul by XLA;
+  * Pallas path (ops/gptq_pallas.py): hand-fused dequant+matmul tuned for the
+    memory-bound decode regime, selected for supported shapes on TPU.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizedLinear(NamedTuple):
+    """GPTQ-style weight-only quantization of a [in, out] matmul.
+
+    qweight: [in, out] int8 codes (int4 uses jnp.int4 when packed)
+    scales:  [groups, out]; group g covers input rows [g*gs, (g+1)*gs)
+    zeros:   [groups, out] float zero-points (asymmetric) or None (symmetric)
+
+    Matches the GPTQ checkpoint format: per-group scales/zeros along the
+    in-features axis, group_size = in // groups (typically 128).
+    """
+
+    qweight: jax.Array
+    scales: jax.Array
+    zeros: Optional[jax.Array]
+
+
+def quantize(w: jax.Array, bits: int = 8, group_size: int = 128,
+             symmetric: bool = False) -> QuantizedLinear:
+    """Quantize a dense [in, out] weight to GPTQ-style codes (round-to-nearest;
+    used for tests and synthetic benchmarks — real GPTQ checkpoints load their
+    own codes via models/loader.py)."""
+    din, dout = w.shape
+    assert din % group_size == 0, (din, group_size)
+    g = din // group_size
+    wf = w.astype(jnp.float32).reshape(g, group_size, dout)
+    qmax = (1 << (bits - 1)) - 1  # 127 or 7
+    if symmetric:
+        scale = jnp.max(jnp.abs(wf), axis=1) / qmax  # [g, dout]
+        scale = jnp.maximum(scale, 1e-8)
+        codes = jnp.clip(jnp.round(wf / scale[:, None, :]), -qmax - 1, qmax)
+        zeros = None
+    else:
+        lo = jnp.min(wf, axis=1)
+        hi = jnp.max(wf, axis=1)
+        scale = jnp.maximum((hi - lo) / (2 * qmax + 1), 1e-8)
+        zero = lo / scale + qmax + 1  # code offset so lo -> -qmax-1
+        codes = jnp.clip(jnp.round(wf / scale[:, None, :] - zero[:, None, :]),
+                         -qmax - 1, qmax)
+        zeros = (-zero).astype(jnp.float32)
+    dtype = jnp.int8 if bits == 8 else jnp.int4
+    return QuantizedLinear(qweight=codes.reshape(din, dout).astype(dtype),
+                           scales=scale.astype(jnp.float32),
+                           zeros=None if symmetric else zeros)
+
+
+def dequantize(qw: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
+    """Reference dequantization: w[i, o] = (code - zero[g(i), o]) * scale."""
+    din, dout = qw.qweight.shape
+    g = qw.scales.shape[0]
+    gs = din // g
+    codes = qw.qweight.astype(jnp.float32).reshape(g, gs, dout)
+    z = 0.0 if qw.zeros is None else qw.zeros[:, None, :]
+    w = (codes - z) * qw.scales[:, None, :]
+    return w.reshape(din, dout).astype(dtype)
+
+
+def _gptq_matmul_xla(x: jax.Array, qw: QuantizedLinear) -> jax.Array:
+    """Quantized matmul via XLA: grouped dequant folded into the dot.
+
+    Computed as sum_g (x_g @ codes_g) * scale_g - (x_g @ 1) * zero_g * scale_g
+    so the big matmul runs on int8-converted codes and the per-group affine
+    correction is a rank-1 term — no [in, out] float weight materialization.
+    """
+    din, dout = qw.qweight.shape
+    g = qw.scales.shape[0]
+    gs = din // g
+    lead = x.shape[:-1]
+    xg = x.reshape(-1, g, gs)
+    codes = qw.qweight.reshape(g, gs, dout).astype(x.dtype)
+    # [N, g, dout] partial products per group
+    part = jnp.einsum("ngi,gio->ngo", xg, codes,
+                      preferred_element_type=jnp.float32)
+    part = part * qw.scales[None].astype(jnp.float32)
+    if qw.zeros is not None:
+        xsum = jnp.sum(xg, axis=-1, dtype=jnp.float32)       # [N, g]
+        corr = xsum[:, :, None] * (qw.zeros * qw.scales)[None]
+        part = part - corr
+    out = jnp.sum(part, axis=1)
+    return out.reshape(*lead, dout).astype(x.dtype)
+
+
+def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
+    """y = x @ w (+ b) for dense arrays or QuantizedLinear pytrees."""
+    if isinstance(w, QuantizedLinear):
+        y = _gptq_matmul_xla(x, w)
+    else:
+        y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def init_dense(key: jax.Array, shape, dtype=jnp.bfloat16, scale=None) -> jax.Array:
+    scale = scale if scale is not None else (shape[0] ** -0.5)
+    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)

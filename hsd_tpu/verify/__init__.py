@@ -1,0 +1,15 @@
+"""Acceptance kernels: tokenwise / blockwise / HSD / greedy / trie-HSD.
+
+All are pure fixed-shape JAX functions (jit/vmap-compatible) with explicit
+PRNG keys — the property that makes losslessness testable (SURVEY.md §7).
+"""
+from .common import Telemetry, VerifyResult
+from .tokenwise import verify_tokenwise
+from .blockwise import verify_blockwise, verify_greedy
+from .hsd import verify_hsd
+from .dispatch import verify
+
+__all__ = [
+    "Telemetry", "VerifyResult", "verify", "verify_tokenwise",
+    "verify_blockwise", "verify_greedy", "verify_hsd",
+]

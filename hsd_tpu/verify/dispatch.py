@@ -1,0 +1,35 @@
+"""Single entry point for the verification kernels.
+
+Replaces the reference's flag-dispatched mega-function
+(`transformers/generation/utils.py:5243-5780`, flags `backward/blockwise/
+clever/multidraft/parallel`) with one typed `method` switch. `method` is a
+static (compile-time) argument.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from .blockwise import verify_blockwise, verify_greedy
+from .hsd import verify_hsd
+from .tokenwise import verify_tokenwise
+
+_METHODS = {
+    "tokenwise": verify_tokenwise,
+    "blockwise": verify_blockwise,
+    "hsd": verify_hsd,
+    "greedy": verify_greedy,
+}
+
+
+@functools.partial(jax.jit, static_argnames=("method", "return_telemetry"))
+def verify(method: str, key, draft_tokens, q, p, return_telemetry: bool = False):
+    """Verify K drafts of gamma tokens; see verify/common.py for the contract.
+
+    method: 'tokenwise' | 'blockwise' | 'hsd' | 'greedy' (static).
+    """
+    fn = _METHODS[method]
+    if method in ("tokenwise", "hsd"):
+        return fn(key, draft_tokens, q, p, return_telemetry=return_telemetry)
+    return fn(key, draft_tokens, q, p)

@@ -1,0 +1,77 @@
+"""End-to-end engine tests on tiny random-weight models.
+
+Key invariants:
+  * greedy speculative decoding == greedy autoregressive decoding of the
+    target, token for token, for ANY draft model — this exercises prefill,
+    RoPE positions, left-pad masking, KV append/rollback and commit logic
+    (any cache inconsistency shifts a logit and breaks exact equality);
+  * draft == target => every block fully accepted;
+  * the engine respects max_new_tokens and EOS truncation.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hsd_tpu.config import EngineConfig, ModelConfig, VerifierConfig
+from hsd_tpu.engine import make_autoregressive, make_generate
+from hsd_tpu.models import init_params
+
+CFG = ModelConfig.tiny(vocab_size=64)
+PD = init_params(CFG, jax.random.PRNGKey(0))
+PT = init_params(CFG, jax.random.PRNGKey(1))
+PROMPT = (jnp.arange(10, dtype=jnp.int32) % 50) + 1
+PLEN = jnp.int32(7)
+
+
+def _spec(method, K, temp, max_new=24, gamma=4):
+    eng = EngineConfig(
+        verifier=VerifierConfig(method=method, gamma=gamma, num_drafts=K),
+        max_new_tokens=max_new, temperature=temp)
+    return make_generate(CFG, CFG, eng)
+
+
+def test_greedy_spec_equals_greedy_ar():
+    gen = _spec("greedy", 1, 0.0)
+    res = gen(PD, PT, PROMPT, PLEN, jax.random.PRNGKey(2))
+    ar = make_autoregressive(CFG, EngineConfig(max_new_tokens=24, temperature=0.0))
+    t_ar, l_ar = ar(PT, PROMPT, PLEN, jax.random.PRNGKey(3))
+    n = min(int(res.length), int(l_ar))
+    got = np.asarray(res.tokens)[10:n]
+    want = np.asarray(t_ar)[10:n]
+    np.testing.assert_array_equal(got, want)
+    assert int(res.ncommit) == 24 or res.tokens[res.length - 1] == CFG.eos_token_id
+
+
+@pytest.mark.parametrize("method,K", [("tokenwise", 1), ("hsd", 1), ("hsd", 3)])
+def test_same_model_full_acceptance(method, K):
+    gen = _spec(method, K, 1.0)
+    res = gen(PT, PT, PROMPT, PLEN, jax.random.PRNGKey(5))
+    acc = np.asarray(res.accepts)[:int(res.blocks)]
+    # p == q: only numerical noise between the batched target forward and the
+    # single-token draft forwards can cause a rejection
+    assert acc.mean() >= 3.8, acc
+
+
+@pytest.mark.parametrize("method,K", [("tokenwise", 1), ("tokenwise", 2),
+                                      ("hsd", 1), ("hsd", 2), ("blockwise", 1)])
+def test_spec_generates_and_respects_budget(method, K):
+    gen = _spec(method, K, 1.0, max_new=16)
+    res = gen(PD, PT, PROMPT, PLEN, jax.random.PRNGKey(7))
+    assert 1 <= int(res.ncommit) <= 16 + 4  # gamma slack on final block
+    toks = np.asarray(res.tokens)[10:int(res.length)]
+    assert (toks >= 0).all() and (toks < CFG.vocab_size).all()
+    acc = np.asarray(res.accepts)[:int(res.blocks)]
+    assert ((acc >= 0) & (acc <= 4)).all()
+
+
+def test_left_padding_invariance():
+    """The same prompt in a bigger left-padded bucket must decode greedily to
+    the same tokens (pad slots are fully dead)."""
+    gen = _spec("greedy", 1, 0.0, max_new=12)
+    res1 = gen(PD, PT, PROMPT, PLEN, jax.random.PRNGKey(2))
+    bigger = jnp.concatenate([jnp.zeros((6,), jnp.int32), PROMPT])
+    res2 = gen(PD, PT, bigger, PLEN, jax.random.PRNGKey(2))
+    a = np.asarray(res1.tokens)[10:10 + 12]
+    b = np.asarray(res2.tokens)[16:16 + 12]
+    np.testing.assert_array_equal(a, b)

@@ -1,0 +1,139 @@
+"""GSM8K chain-of-thought evaluation harness.
+
+The TPU-native counterpart of the reference's
+`chain-of-thought-hub/gsm8k/eval_speculative_decoding_llm.py` (727 lines of
+argparse + HF generate): loads the GSM8K test split, builds the CoT prompt
+with the Qwen chat template, drives the speculative engine per question, and
+writes the same artifact shapes — an answers file in `Q:/A_model:/A:` format
+(consumed by metrics.accuracy) and a per-question counts JSON for BE/DS.
+
+Data inputs are paths (no network): a GSM8K jsonl with {"question","answer"}
+rows and a CoT few-shot prompt text file (the reference reads
+`lib_prompt/prompt_original.txt`; pass your copy). Tokenization uses an HF
+tokenizer directory when given, else a byte-fallback for smoke runs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, ModelConfig
+from ..engine import make_generate
+from .metrics import accuracy, summarize
+
+
+def load_gsm8k_jsonl(path: str, limit: Optional[int] = None,
+                     stride: int = 5) -> List[dict]:
+    """Reference uses every 5th test question (1319//5=263 rows,
+    eval_speculative_decoding_llm.py:100)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                rows.append(json.loads(line))
+    rows = rows[::stride]
+    return rows[:limit] if limit else rows
+
+
+def qwen_chat_wrap(user_text: str) -> str:
+    """Qwen2.5 chat template (system + user turn, assistant open)."""
+    return ("<|im_start|>system\nYou are Qwen, created by Alibaba Cloud. "
+            "You are a helpful assistant.<|im_end|>\n"
+            f"<|im_start|>user\n{user_text}<|im_end|>\n"
+            "<|im_start|>assistant\n")
+
+
+def build_prompt(question: str, shots_text: str) -> str:
+    """CoT prompt: few-shot examples then the question (ref :375-378)."""
+    return qwen_chat_wrap(
+        f"{shots_text}\nQuestion: {question}\nLet's think step by step\n")
+
+
+def bucket_pad(ids: List[int], buckets=(512, 1024, 1536, 2048)) -> np.ndarray:
+    """LEFT-pad token ids into the smallest fitting static bucket."""
+    n = len(ids)
+    for b in buckets:
+        if n <= b:
+            return np.asarray([0] * (b - n) + ids, np.int32), n
+    return np.asarray(ids[-buckets[-1]:], np.int32), buckets[-1]
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    engine: EngineConfig
+    out_dir: str = "gsm8k_out"
+    tag: str = "run"
+    seed: int = 0
+
+
+def run_eval(cfg_draft: ModelConfig, cfg_target: ModelConfig, params_draft,
+             params_target, tokenizer, questions: List[dict],
+             shots_text: str, ev: EvalConfig) -> dict:
+    """Evaluate; returns summary metrics and writes artifacts.
+
+    tokenizer: object with .encode(str)->List[int] and .decode(List[int])->str
+    (an HF tokenizer works as-is).
+    """
+    os.makedirs(ev.out_dir, exist_ok=True)
+    gens = {}
+    counts, answers = [], []
+    key = jax.random.PRNGKey(ev.seed)
+    gamma = ev.engine.verifier.gamma
+
+    for qi, row in enumerate(questions):
+        prompt_text = build_prompt(row["question"], shots_text)
+        ids = tokenizer.encode(prompt_text)
+        padded, n = bucket_pad(ids)
+        bucket = padded.shape[0]
+        if bucket not in gens:
+            gens[bucket] = make_generate(cfg_draft, cfg_target, ev.engine)
+        gen = gens[bucket]
+        t0 = time.perf_counter()
+        res = gen(params_draft, params_target, jnp.asarray(padded),
+                  jnp.int32(n), jax.random.fold_in(key, qi))
+        res.tokens.block_until_ready()
+        dt = time.perf_counter() - t0
+        out_ids = np.asarray(res.tokens)[bucket:int(res.length)].tolist()
+        text = tokenizer.decode(out_ids)
+        nblocks = int(res.blocks)
+        counts.append({
+            "accepts": np.asarray(res.accepts)[:nblocks].tolist(),
+            "draft_lens": np.asarray(res.draft_lens)[:nblocks].tolist(),
+            "time_s": dt,
+            "new_tokens": int(res.ncommit),
+        })
+        answers.append((row["question"], text, row["answer"]))
+
+    # artifacts in the reference's shapes
+    ans_path = os.path.join(ev.out_dir, f"answers_{ev.tag}.txt")
+    with open(ans_path, "w") as f:
+        for q, am, a in answers:
+            f.write(f"Q: {q}\nA_model:\n{am}\nA:\n{a}\n\n")
+    counts_path = os.path.join(ev.out_dir, f"counts_{ev.tag}.json")
+    with open(counts_path, "w") as f:
+        json.dump(counts, f)
+
+    summary = summarize(counts, gamma)
+    summary["accuracy"] = accuracy([a[1] for a in answers],
+                                   [a[2] for a in answers])
+    summary["artifacts"] = {"answers": ans_path, "counts": counts_path}
+    return summary
+
+
+class ByteTokenizer:
+    """Fallback tokenizer for smoke runs without an HF tokenizer."""
+
+    vocab_size = 256
+
+    def encode(self, s: str) -> List[int]:
+        return list(s.encode("utf-8", errors="ignore"))
+
+    def decode(self, ids: List[int]) -> str:
+        return bytes(int(i) % 256 for i in ids).decode("utf-8", errors="ignore")

@@ -1,0 +1,177 @@
+"""HF checkpoint loading: safetensors -> ModelParams pytrees.
+
+Covers the model zoo the reference drives (SURVEY.md §2.2/2.3):
+  * plain bf16/f16 Qwen2/Llama checkpoints;
+  * GPTQ weight-only checkpoints (auto-gptq layout: packed int32 qweight,
+    packed int32 qzeros, f16 scales, group_size typically 128) — the formats
+    behind `Qwen/Qwen2.5-*-Instruct-GPTQ-Int8/Int4`
+    (ref: eval_speculative_decoding_llm.py:37,63) — unpacked into our
+    QuantizedLinear [in, out] int8-code layout at load time.
+
+Loading is pure NumPy (host) then device_put with shardings, so a 72B target
+streams straight into its TP shards without materializing on one chip.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..ops.linear import QuantizedLinear
+from .transformer import ModelParams
+
+
+def _load_all_tensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import numpy as stnp
+
+    tensors = {}
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no safetensors under {path}")
+    for f in files:
+        tensors.update(stnp.load_file(f))
+    return tensors
+
+
+def config_from_hf(path: str) -> ModelConfig:
+    """Build a ModelConfig from an HF config.json (Qwen2/Llama families)."""
+    with open(os.path.join(path, "config.json")) as f:
+        c = json.load(f)
+    eos = c.get("eos_token_id")
+    if isinstance(eos, list):
+        eos = eos[0]
+    return ModelConfig(
+        vocab_size=c["vocab_size"],
+        hidden_size=c["hidden_size"],
+        intermediate_size=c["intermediate_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=c["num_attention_heads"],
+        num_kv_heads=c.get("num_key_value_heads", c["num_attention_heads"]),
+        head_dim=c.get("head_dim"),
+        rope_theta=c.get("rope_theta", 10000.0),
+        rms_norm_eps=c.get("rms_norm_eps", 1e-6),
+        tie_word_embeddings=c.get("tie_word_embeddings", False),
+        attention_bias=c.get("model_type", "qwen2") == "qwen2",
+        eos_token_id=eos if eos is not None else 0,
+    )
+
+
+def _unpack_gptq_int32(packed: np.ndarray, bits: int) -> np.ndarray:
+    """Unpack auto-gptq int32 rows into unsigned codes along axis 0.
+
+    packed: [in*bits/32, out] -> codes [in, out] uint8 (values in [0, 2^bits)).
+    """
+    per = 32 // bits
+    mask = (1 << bits) - 1
+    out = np.empty((packed.shape[0] * per, packed.shape[1]), np.uint8)
+    p = packed.view(np.uint32)
+    for j in range(per):
+        out[j::per] = (p >> (bits * j)) & mask
+    return out
+
+
+def _gptq_linear(t: Dict[str, np.ndarray], prefix: str, bits: int,
+                 dtype) -> QuantizedLinear:
+    """Convert one auto-gptq layer to QuantizedLinear ([in, out] int8 codes).
+
+    auto-gptq dequant: w = scale[g] * (code - (qzero[g] + 1)) for most
+    checkpoints (the +1 offset is the historical auto-gptq convention).
+    Our contract is w = (code' - zero) * scale with signed code'; we shift
+    codes to signed by subtracting 2^(bits-1) and fold the shift into zero.
+    """
+    qweight = _unpack_gptq_int32(t[prefix + ".qweight"], bits)     # [in, out]
+    qzeros = _unpack_gptq_int32(t[prefix + ".qzeros"].T, bits).T   # [groups, out]
+    scales = t[prefix + ".scales"].astype(np.float32)              # [groups, out]
+    g_idx = t.get(prefix + ".g_idx")
+    groups = scales.shape[0]
+    din = qweight.shape[0]
+    gs = din // groups
+    if g_idx is not None:
+        expect = np.arange(din) // gs
+        if not np.array_equal(np.asarray(g_idx, np.int64), expect):
+            raise NotImplementedError("permuted g_idx (desc_act) not supported")
+    offset = 1 << (bits - 1)
+    codes = qweight.astype(np.int16) - offset
+    zeros = (qzeros.astype(np.float32) + 1.0) - offset
+    return QuantizedLinear(
+        qweight=jnp.asarray(codes.astype(np.int8)),
+        scales=jnp.asarray(scales),
+        zeros=jnp.asarray(zeros.astype(np.float32)),
+    )
+
+
+def _dense(t: Dict[str, np.ndarray], name: str, dtype,
+           transpose: bool = True) -> jnp.ndarray:
+    w = t[name]
+    if transpose and w.ndim == 2:
+        w = w.T  # HF stores [out, in]; we use [in, out]
+    return jnp.asarray(w.astype(np.float32)).astype(dtype)
+
+
+def load_hf(path: str, cfg: Optional[ModelConfig] = None,
+            quantized: Optional[int] = None) -> tuple:
+    """Load an HF Qwen2/Llama checkpoint directory.
+
+    quantized: None for dense; 8/4 for GPTQ checkpoints.
+    Returns (cfg, ModelParams) with layer weights stacked on axis 0.
+    """
+    cfg = cfg or config_from_hf(path)
+    t = _load_all_tensors(path)
+    L = cfg.num_layers
+    dt = cfg.dtype
+
+    def stack_dense(fmt):
+        return jnp.stack([_dense(t, fmt.format(i), dt) for i in range(L)])
+
+    def stack_bias(fmt):
+        return jnp.stack([jnp.asarray(t[fmt.format(i)].astype(np.float32))
+                          for i in range(L)]).astype(dt)
+
+    def stack_gptq(fmt):
+        qs = [_gptq_linear(t, fmt.format(i), quantized, dt) for i in range(L)]
+        return QuantizedLinear(
+            qweight=jnp.stack([q.qweight for q in qs]),
+            scales=jnp.stack([q.scales for q in qs]),
+            zeros=jnp.stack([q.zeros for q in qs]),
+        )
+
+    pre = "model.layers.{}."
+    if quantized:
+        mat = lambda name: stack_gptq(pre + name)
+    else:
+        mat = lambda name: stack_dense(pre + name + ".weight")
+
+    layers = dict(
+        ln1=jnp.stack([jnp.asarray(
+            t[f"model.layers.{i}.input_layernorm.weight"].astype(np.float32))
+            for i in range(L)]),
+        ln2=jnp.stack([jnp.asarray(
+            t[f"model.layers.{i}.post_attention_layernorm.weight"].astype(np.float32))
+            for i in range(L)]),
+        wq=mat("self_attn.q_proj"),
+        wk=mat("self_attn.k_proj"),
+        wv=mat("self_attn.v_proj"),
+        wo=mat("self_attn.o_proj"),
+        wgate=mat("mlp.gate_proj"),
+        wup=mat("mlp.up_proj"),
+        wdown=mat("mlp.down_proj"),
+    )
+    if cfg.attention_bias and "model.layers.0.self_attn.q_proj.bias" in t:
+        layers.update(
+            bq=stack_bias("model.layers.{}.self_attn.q_proj.bias"),
+            bk=stack_bias("model.layers.{}.self_attn.k_proj.bias"),
+            bv=stack_bias("model.layers.{}.self_attn.v_proj.bias"),
+        )
+
+    embed = _dense(t, "model.embed_tokens.weight", dt, transpose=False)
+    lm_head = None
+    if not cfg.tie_word_embeddings:
+        lm_head = _dense(t, "lm_head.weight", dt)  # -> [D, V]
+    final_norm = jnp.asarray(t["model.norm.weight"].astype(np.float32))
+    return cfg, ModelParams(embed=embed, layers=layers,
+                            final_norm=final_norm, lm_head=lm_head)

@@ -10,6 +10,11 @@ CUDA kernels the reference installs via `pip install optimum`
 Layout contract (matches ops/linear.QuantizedLinear):
   qweight [in, out] int8 codes, scales [in/gs, out], zeros [in/gs, out]|None
   y[n, o] = sum_i x[n, i] * (code[i, o] - zero[g(i), o]) * scale[g(i), o]
+
+Scales/zeros ride in full along the group axis (they are tiny — in/128 rows)
+and the kernel slices the groups of the current in-block, which keeps the
+weight block shape free of the sublane-divisibility constraint on the group
+dim.
 """
 from __future__ import annotations
 
@@ -23,8 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .linear import QuantizedLinear
 
 
-def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, groups_per_blk,
-            gs, n_in_blocks):
+def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gpb, gs,
+            n_in_blocks):
     """Grid (out_blocks, in_blocks); accumulate x_blk @ dequant(w_blk)."""
     i = pl.program_id(1)
 
@@ -34,10 +39,11 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, groups_per_blk,
 
     codes = w_ref[:].astype(jnp.float32)           # [in_blk, out_blk]
     in_blk, out_blk = codes.shape
-    codes = codes.reshape(groups_per_blk, gs, out_blk)
-    scale = s_ref[:].astype(jnp.float32)           # [groups_per_blk, out_blk]
+    codes = codes.reshape(gpb, gs, out_blk)
+    g0 = pl.multiple_of(i * gpb, gpb)
+    scale = s_ref[pl.ds(g0, gpb), :].astype(jnp.float32)   # [gpb, out_blk]
     if z_ref is not None:
-        z = z_ref[:].astype(jnp.float32)
+        z = z_ref[pl.ds(g0, gpb), :].astype(jnp.float32)
         w = (codes - z[:, None, :]) * scale[:, None, :]
     else:
         w = codes * scale[:, None, :]
@@ -50,14 +56,24 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, groups_per_blk,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _pick_block_in(din: int, gs: int, target: int = 2048) -> int:
+    """Largest multiple of gs dividing din with size <= target (fallback din)."""
+    n_groups = din // gs
+    best = din
+    for d in range(1, n_groups + 1):
+        if n_groups % d == 0 and d * gs <= target:
+            best = d * gs
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("block_out", "block_in", "interpret"))
 def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 512,
-                block_in: int = 512, interpret: bool = False) -> jax.Array:
+                block_in: int = 0, interpret: bool = False) -> jax.Array:
     """y = x @ dequant(qw). x: [..., in]; returns [..., out] in x.dtype.
 
-    Rows are padded to the f32 sublane (8); in/out must divide by the block
-    sizes (model dims are multiples of 128 in practice — callers fall back to
-    the XLA path otherwise).
+    Rows are padded to the f32 sublane (8). in must divide by a multiple of
+    the group size (model dims are multiples of 128 in practice); out must
+    divide by block_out (shrunk automatically to a divisor).
     """
     din, dout = qw.qweight.shape
     groups = qw.scales.shape[0]
@@ -69,10 +85,12 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 512,
     if npad != n:
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
 
+    if block_in == 0:
+        block_in = _pick_block_in(din, gs)
     block_in = min(block_in, din)
-    block_out = min(block_out, dout)
-    assert din % block_in == 0 and dout % block_out == 0
-    assert block_in % gs == 0, (block_in, gs)
+    while dout % block_out:
+        block_out //= 2
+    assert din % block_in == 0 and block_in % gs == 0, (din, block_in, gs)
     gpb = block_in // gs
     n_in_blocks = din // block_in
     grid = (dout // block_out, n_in_blocks)
@@ -82,20 +100,20 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 512,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((block_in, block_out), lambda o, i: (i, o),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((gpb, block_out), lambda o, i: (i, o),
+        pl.BlockSpec((groups, block_out), lambda o, i: (0, o),
                      memory_space=pltpu.VMEM),
     ]
     args = [x2, qw.qweight, qw.scales]
     if qw.zeros is not None:
-        in_specs.append(pl.BlockSpec((gpb, block_out), lambda o, i: (i, o),
+        in_specs.append(pl.BlockSpec((groups, block_out), lambda o, i: (0, o),
                                      memory_space=pltpu.VMEM))
         args.append(qw.zeros)
-        kern = functools.partial(_kernel, groups_per_blk=gpb, gs=gs,
+        kern = functools.partial(_kernel, gpb=gpb, gs=gs,
                                  n_in_blocks=n_in_blocks)
     else:
         def kern(x_ref, w_ref, s_ref, o_ref, acc_ref):
-            _kernel(x_ref, w_ref, s_ref, None, o_ref, acc_ref,
-                    groups_per_blk=gpb, gs=gs, n_in_blocks=n_in_blocks)
+            _kernel(x_ref, w_ref, s_ref, None, o_ref, acc_ref, gpb=gpb,
+                    gs=gs, n_in_blocks=n_in_blocks)
 
     out = pl.pallas_call(
         kern,
@@ -123,6 +141,6 @@ def pallas_supported(x: jax.Array, qw: QuantizedLinear) -> bool:
     gs = din // groups
     if qw.qweight.dtype != jnp.int8:
         return False
-    if din % 128 or dout % 128 or gs % 128:
+    if din % gs or gs % 128 or dout % 128:
         return False
     return True

@@ -1,0 +1,94 @@
+"""Partition specs for model weights and KV caches (GSPMD tensor parallelism).
+
+The reference shards nothing at tensor granularity — it places whole layers on
+GPUs (`manual_device_map`, eval_speculative_decoding_llm.py:204-260). Here the
+target model is Megatron-style TP-sharded over the `model` mesh axis:
+
+  * attention qkv out-features and o_proj in-features -> head shards;
+  * MLP gate/up out-features and down in-features -> ffn shards;
+  * lm_head out-features -> vocab shards (verification needs full-vocab rows,
+    so the engine all-gathers the gamma+1 logit rows — tiny vs the matmul);
+  * KV cache sharded on the kv-head axis: append and rollback stay local on
+    every chip (the "sharded in-place KV rollback" north star);
+  * norms / biases replicated; embedding vocab-sharded.
+
+Quantized weights shard their codes AND per-group scales/zeros with the same
+out/in-feature rule (group axis follows in-features).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.transformer import ModelParams
+from ..ops.linear import QuantizedLinear
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _linear_spec(w: Any, in_spec, out_spec, stacked: bool):
+    """PartitionSpec tree for a dense array or QuantizedLinear.
+
+    stacked=True prepends the layer axis (replicated)."""
+    lead = (None,) if stacked else ()
+    if isinstance(w, QuantizedLinear):
+        return QuantizedLinear(
+            qweight=P(*lead, in_spec, out_spec),
+            scales=P(*lead, in_spec, out_spec),
+            zeros=None if w.zeros is None else P(*lead, in_spec, out_spec),
+        )
+    return P(*lead, in_spec, out_spec)
+
+
+def param_specs(params: ModelParams) -> ModelParams:
+    """ModelParams-shaped tree of PartitionSpecs (Megatron TP layout)."""
+    L = params.layers
+    specs = {}
+    for name, w in L.items():
+        if name in ("ln1", "ln2"):
+            specs[name] = P(None, None)
+        elif name in ("wq", "wk", "wv", "wgate", "wup"):
+            specs[name] = _linear_spec(w, None, MODEL_AXIS, stacked=True)
+        elif name in ("wo", "wdown"):
+            specs[name] = _linear_spec(w, MODEL_AXIS, None, stacked=True)
+        elif name in ("bq", "bk", "bv"):
+            specs[name] = P(None, MODEL_AXIS)
+        else:
+            specs[name] = P(None, None)
+    lm = None
+    if params.lm_head is not None:
+        lm = _linear_spec(params.lm_head, None, MODEL_AXIS, stacked=False)
+    return ModelParams(
+        embed=P(MODEL_AXIS, None),   # vocab-sharded; tied head gathers
+        layers=specs,
+        final_norm=P(None),
+        lm_head=lm,
+    )
+
+
+def cache_specs() -> Any:
+    """KVCache PartitionSpecs: [L, B, S, H_kv, D] with heads on `model`."""
+    from ..engine.kvcache import KVCache
+    return KVCache(k=P(None, None, None, MODEL_AXIS, None),
+                   v=P(None, None, None, MODEL_AXIS, None),
+                   length=P(), start=P(None))
+
+
+def shard_tree(tree: Any, specs: Any, mesh: Mesh) -> Any:
+    """device_put a pytree with NamedShardings built from a spec tree."""
+    def put(x, s):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, s))
+    return jax.tree.map(put, tree, specs,
+                        is_leaf=lambda x: x is None)
+
+
+def shard_params(params: ModelParams, mesh: Mesh) -> ModelParams:
+    return shard_tree(params, param_specs(params), mesh)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)

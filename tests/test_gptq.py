@@ -1,0 +1,66 @@
+"""GPTQ quantized-linear tests: XLA path vs reference dequant, and the Pallas
+kernel (interpret mode on CPU) vs both (SURVEY.md §4 "Kernel" tests)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hsd_tpu.ops.linear import (QuantizedLinear, _gptq_matmul_xla, apply_linear,
+                                dequantize, quantize)
+from hsd_tpu.ops.gptq_pallas import gptq_matmul, pallas_supported
+
+
+def _mk(key, din=256, dout=384, bits=8, group_size=128, symmetric=False):
+    kw, kx = jax.random.split(key)
+    w = jax.random.normal(kw, (din, dout), jnp.float32) * 0.05
+    qw = quantize(w, bits=bits, group_size=group_size, symmetric=symmetric)
+    x = jax.random.normal(kx, (4, din), jnp.float32)
+    return w, qw, x
+
+
+@pytest.mark.parametrize("bits,symmetric", [(8, False), (8, True), (4, False)])
+def test_quantize_roundtrip(bits, symmetric):
+    w, qw, _ = _mk(jax.random.PRNGKey(0), bits=bits, symmetric=symmetric)
+    wd = dequantize(qw, jnp.float32)
+    err = jnp.abs(wd - w).max() / jnp.abs(w).max()
+    # quantization step bound: range/2^bits
+    assert float(err) < (0.02 if bits == 8 else 0.2), float(err)
+
+
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_xla_matmul_matches_dequant(symmetric):
+    w, qw, x = _mk(jax.random.PRNGKey(1), symmetric=symmetric)
+    want = x @ dequantize(qw, jnp.float32)
+    got = _gptq_matmul_xla(x, qw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_pallas_kernel_interpret(symmetric):
+    w, qw, x = _mk(jax.random.PRNGKey(2), din=512, dout=512,
+                   symmetric=symmetric)
+    assert pallas_supported(x, qw)
+    want = x @ dequantize(qw, jnp.float32)
+    got = gptq_matmul(x, qw, block_out=256, block_in=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_kernel_ragged_rows():
+    """Row counts that need sublane padding."""
+    w, qw, _ = _mk(jax.random.PRNGKey(3), din=256, dout=256)
+    for n in (1, 3, 11):
+        x = jax.random.normal(jax.random.PRNGKey(n), (n, 256), jnp.float32)
+        want = x @ dequantize(qw, jnp.float32)
+        got = gptq_matmul(x, qw, block_out=128, block_in=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_apply_linear_dispatches_quantized():
+    w, qw, x = _mk(jax.random.PRNGKey(4))
+    got = apply_linear(qw, x)
+    want = x @ dequantize(qw, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

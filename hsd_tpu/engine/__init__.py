@@ -1,6 +1,9 @@
-"""Decode orchestration: KV cache, speculative + autoregressive loops."""
-from .kvcache import KVCache, init_cache, rollback, select_draft_row
+"""Decode orchestration: KV cache, speculative + autoregressive + EAGLE loops."""
+from .kvcache import (KVCache, compact_path, init_cache, rollback,
+                      select_draft_row)
 from .speculative import GenerateResult, make_autoregressive, make_generate
+from .eagle_engine import EagleGenerateResult, make_eagle_generate
 
-__all__ = ["KVCache", "init_cache", "rollback", "select_draft_row",
-           "GenerateResult", "make_autoregressive", "make_generate"]
+__all__ = ["KVCache", "compact_path", "init_cache", "rollback",
+           "select_draft_row", "GenerateResult", "make_autoregressive",
+           "make_generate", "EagleGenerateResult", "make_eagle_generate"]

@@ -1,0 +1,202 @@
+"""EAGLE decode orchestration — the TPU-native `eagenerate`
+(ref: EAGLE-3H/eagle/model/ea_model.py:194-366):
+
+    prefill target (collect feature stream) -> trie draft (models/eagle.py)
+    -> ONE tree-masked target forward over the trie -> trie verification
+    (greedy / typical / trie-HSD) -> path KV compaction -> next trie.
+
+Static-shape invariants:
+  * the head re-absorbs a FIXED window of (feature, token) pairs each block
+    (idempotent rewrites), replacing the reference's variable-length
+    `input_ids[:, kv_len:]` catch-up (cnets.py:690-696);
+  * a features ring buffer keeps the target features of every committed
+    position, scatter-updated from the accepted tree path;
+  * the whole generate is one lax.while_loop — one host sync per call.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EngineConfig, ModelConfig
+from ..models import transformer
+from ..models.eagle import (EagleConfig, EagleParams, Trie, build_trie,
+                            init_eagle_kv)
+from ..ops.sampling import process_logits, sample
+from ..verify.trie import (verify_trie_greedy, verify_trie_hsd,
+                           verify_trie_typical)
+from .kvcache import compact_path, init_cache
+
+
+class EagleGenerateResult(NamedTuple):
+    tokens: jax.Array
+    length: jax.Array
+    prompt_len: jax.Array
+    blocks: jax.Array
+    accepts: jax.Array      # [max_blocks] accept_length per block
+    draft_lens: jax.Array   # [max_blocks] drafted tokens per block (N)
+    ncommit: jax.Array
+
+
+def default_feature_layers(cfg: ModelConfig) -> Tuple[int, int, int]:
+    """The reference taps target layer inputs {2, L//2, L-3}
+    (modeling_llama_kv.py:1138)."""
+    L = cfg.num_layers
+    return (min(2, L - 1), L // 2, max(L - 3, 0))
+
+
+def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
+                        engine: EngineConfig, mode: str = "hsd"):
+    """Build jitted `generate(params_target, eagle_params, prompt, prompt_len,
+    key)` for mode in {'greedy', 'typical', 'hsd'}."""
+    N = ecfg.total_tokens
+    depth = ecfg.depth
+    Lpath = depth + 2
+    T_abs = Lpath  # head absorb window per block
+    temp = engine.temperature
+    max_new = engine.max_new_tokens
+    eos = cfg_t.eos_token_id
+    feat_layers = default_feature_layers(cfg_t)
+    Dt3 = 3 * cfg_t.hidden_size
+
+    assert mode in ("greedy", "typical", "hsd"), mode
+
+    def generate(params_t, params_e: EagleParams, prompt: jax.Array,
+                 prompt_len: jax.Array, key: jax.Array) -> EagleGenerateResult:
+        P = prompt.shape[0]
+        S = P + max_new + N + 2
+        start = jnp.broadcast_to(P - prompt_len, (1,)).astype(jnp.int32)
+        tcache = init_cache(cfg_t, 1, S)._replace(start=start)
+        # head KV needs S pair slots + the per-block trie scratch region
+        ekv = init_eagle_kv(ecfg, 1, S + depth * ecfg.top_k + T_abs)
+        ekv = ekv._replace(start=start[0])
+
+        # ---- prefill target over the prompt; collect features -------------
+        logits, tcache, feats = transformer.forward(
+            cfg_t, params_t, prompt[None, :], tcache,
+            feature_layers=feat_layers)
+        feat_buf = jnp.zeros((S, Dt3), ecfg.dtype).at[:P].set(
+            feats[0].astype(ecfg.dtype))
+        key, k0 = jax.random.split(key)
+        p0 = process_logits(logits[0, -1], temp)
+        root = sample(k0, p0).astype(jnp.int32)
+
+        tokens = jnp.zeros((S,), jnp.int32).at[:P].set(prompt).at[P].set(root)
+        length = jnp.int32(P + 1)   # committed incl. the sampled root
+        # target cache currently holds P entries (prompt); the root token is
+        # consumed by the next tree forward (col 0 of the trie).
+
+        # ---- head prefill absorb: pairs (feature_j, token_{j+1}) ----------
+        # Pair j = (feat[j], tokens[j+1]); head KV slot j <-> pair j. Absorb
+        # pairs 0..P-2 once here (static prompt bucket); each block then only
+        # (re)feeds the last T_abs pairs (idempotent rewrites).
+        from ..models.eagle import head_forward
+        from ..ops.linear import apply_linear as _lin
+        femb = jnp.take(params_e.embed, tokens[1:P], axis=0)[None]
+        ffeat = _lin(params_e.fc, feat_buf[:P - 1].astype(ecfg.dtype))[None]
+        ppos = (jnp.arange(P - 1) - ekv.start)[None, :]
+        _, ekv = head_forward(ecfg, params_e, femb.astype(ecfg.dtype), ffeat,
+                              ekv, ppos)
+
+        accepts = jnp.full((max_new,), -1, jnp.int32)
+        dlens = jnp.full((max_new,), -1, jnp.int32)
+
+        def absorb_window(ekv, feat_buf, tokens, upto):
+            """Re-feed the last T_abs (feature, token) pairs so the head KV
+            holds pairs 0..upto-1 (the reference's stable_kv catch-up,
+            cnets.py:690-696, with fixed window)."""
+            s0 = jnp.maximum(upto - T_abs, 0)
+            idx = s0 + jnp.arange(T_abs)
+            fwin = jnp.take(feat_buf, jnp.clip(idx, 0, S - 1), axis=0)
+            twin = jnp.take(tokens, jnp.clip(idx + 1, 0, S - 1), axis=0)
+            ekv = ekv._replace(length=s0)
+            trie, ekv = build_trie(
+                ecfg, params_e, fwin[None], twin[None], ekv, s0,
+                tokens[jnp.clip(idx[-1] + 1, 0, S - 1)])
+            return trie, ekv
+
+        def cond(state):
+            (_, length, done, _, _, _, _, _, blocks) = state
+            return (~done) & (length + N + 2 <= S) & (blocks < max_new) & \
+                (length - P < max_new)
+
+        def body(state):
+            (tokens, length, done, tcache, ekv, feat_buf, accepts, dlens,
+             blocks) = state
+            kb = jax.random.fold_in(key, blocks + 1)
+            k1, k2 = jax.random.split(kb)
+
+            # 1) trie draft: absorb latest pairs, beam out the tree
+            trie, ekv = absorb_window(ekv, feat_buf, tokens, length - 1)
+
+            # 2) tree-masked target forward over the trie block
+            bias = jnp.where(trie.tree_mask, 0.0, -1e30).astype(jnp.float32)
+            base = tcache.length
+            pos = (trie.position_ids + length - 1 - tcache.start[0])[None, :]
+            tlogits, tcache, tfeats = transformer.forward(
+                cfg_t, params_t, trie.draft_tokens[None], tcache,
+                attn_bias=bias, positions=pos, feature_layers=feat_layers)
+            probs = process_logits(tlogits[0], temp)          # [N+1, V]
+
+            # 3) per-path probability rows + verification
+            ri = trie.retrieve_indices                        # [N+1, Lpath]
+            cand = jnp.where(ri >= 0,
+                             jnp.take(trie.draft_tokens,
+                                      jnp.clip(ri, 0, N), axis=0), -1)
+            p_paths = jnp.take(probs, jnp.clip(ri, 0, N), axis=0)
+            if mode == "greedy":
+                best, acc_len, sample_p = verify_trie_greedy(cand, p_paths)
+            elif mode == "typical":
+                best, acc_len, sample_p = verify_trie_typical(k1, cand, p_paths)
+            else:
+                best, acc_len, sample_p = verify_trie_hsd(k1, cand, p_paths)
+
+            # 4) commit accepted path + sampled next token
+            path = cand[best]                                 # [Lpath]
+            ncommit = acc_len + 1                             # path tokens used
+            posn = jnp.arange(S)
+            src = jnp.take(path, jnp.clip(posn - (length - 1), 0, Lpath - 1))
+            write = (posn >= length) & (posn < length - 1 + ncommit)
+            tokens = jnp.where(write, src, tokens)
+            nxt = sample(k2, sample_p).astype(jnp.int32)
+            new_length = length - 1 + ncommit + 1
+            tokens = tokens.at[jnp.clip(new_length - 1, 0, S - 1)].set(nxt)
+
+            # 5) target KV compaction to the accepted path
+            sel = jnp.where(jnp.arange(Lpath) < ncommit,
+                            jnp.clip(trie.retrieve_indices[best], 0, N), -1)
+            tcache = compact_path(tcache, sel, ncommit, base)
+
+            # 6) scatter accepted features into the ring buffer
+            fsel = jnp.take(tfeats[0], jnp.clip(sel, 0, N), axis=0)
+            fbase = length - 1
+            fwrite = (posn >= fbase) & (posn < fbase + ncommit)
+            fsrc = jnp.take(fsel, jnp.clip(posn - fbase, 0, Lpath - 1), axis=0)
+            feat_buf = jnp.where(fwrite[:, None], fsrc.astype(feat_buf.dtype),
+                                 feat_buf)
+
+            hit_eos = jnp.any(write & (tokens == eos)) | (nxt == eos)
+            done = done | hit_eos
+            accepts = accepts.at[blocks].set(acc_len)
+            dlens = dlens.at[blocks].set(N)
+            return (tokens, new_length, done, tcache, ekv, feat_buf, accepts,
+                    dlens, blocks + 1)
+
+        state = (tokens, length, jnp.bool_(False), tcache, ekv, feat_buf,
+                 accepts, dlens, jnp.int32(0))
+        (tokens, length, done, _, _, _, accepts, dlens, blocks) = \
+            jax.lax.while_loop(cond, body, state)
+
+        length = jnp.minimum(length, P + max_new)
+        gen_pos = jnp.arange(S)
+        is_eos = (tokens == eos) & (gen_pos >= P) & (gen_pos < length)
+        first_eos = jnp.where(jnp.any(is_eos), jnp.argmax(is_eos), length)
+        length = jnp.minimum(length, first_eos + 1)
+        return EagleGenerateResult(tokens=tokens, length=length,
+                                   prompt_len=jnp.int32(P), blocks=blocks,
+                                   accepts=accepts, draft_lens=dlens,
+                                   ncommit=length - P)
+
+    return jax.jit(generate)

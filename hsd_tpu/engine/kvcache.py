@@ -75,6 +75,27 @@ def rollback(cache: KVCache, new_length: jax.Array) -> KVCache:
     return cache._replace(length=new_length.astype(jnp.int32))
 
 
+def compact_path(cache: KVCache, rel_indices: jax.Array, n_valid: jax.Array,
+                 base: jax.Array) -> KVCache:
+    """Tree-path KV compaction (ref: EAGLE KVCache.copy, kv_cache.py:38-50,
+    update_inference_inputs, eagle/model/utils.py:653-663).
+
+    The tree forward wrote entries for all trie nodes at [base, base+N+1);
+    keep only the accepted path: gather seq slots base + rel_indices[j]
+    (fixed-size, -1 padded) into contiguous [base, base + n_valid) and set
+    length = base + n_valid. Slots past n_valid receive junk from clipped
+    gathers — dead by the length contract. Gathers are per-sequence-slot and
+    head-local, so the op stays collective-free on a head-sharded cache."""
+    T = rel_indices.shape[0]
+    src = base + jnp.clip(rel_indices, 0, cache.max_len - 1)
+    kg = jnp.take(cache.k, src, axis=2)     # [L, B, T, H, D]
+    vg = jnp.take(cache.v, src, axis=2)
+    k = jax.lax.dynamic_update_slice(cache.k, kg, (0, 0, base, 0, 0))
+    v = jax.lax.dynamic_update_slice(cache.v, vg, (0, 0, base, 0, 0))
+    return cache._replace(k=k, v=v,
+                          length=(base + n_valid).astype(jnp.int32))
+
+
 def select_draft_row(cache: KVCache, row: jax.Array) -> KVCache:
     """Multidraft KV rollback: keep draft `row`'s KV in every batch slot
     (ref equivalent: DynamicCache.crop(selected_draft), cache_utils.py:522-553).

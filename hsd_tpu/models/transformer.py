@@ -130,11 +130,15 @@ def _attention(q, k, v, q_index, kv_length, start, attn_bias):
 
 def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
             cache: KVCache, attn_bias: Optional[jax.Array] = None,
-            positions: Optional[jax.Array] = None
-            ) -> Tuple[jax.Array, KVCache]:
+            positions: Optional[jax.Array] = None,
+            feature_layers: Optional[Tuple[int, ...]] = None):
     """Run the decoder over `tokens` [B, T] appending to `cache`.
 
     Returns (logits [B, T, V] float32, updated cache with length += T).
+    With `feature_layers` (static tuple of layer indices) additionally returns
+    the concatenated INPUTS of those layers [B, T, len*D] — the EAGLE-3
+    feature stream (the reference taps layers {2, L//2, L-3},
+    modeling_llama_kv.py:1138).
     """
     B, T = tokens.shape
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
@@ -148,6 +152,7 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
 
     def layer_fn(x, inp):
         lp, k_buf, v_buf = inp
+        x_in = x
         h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
         q = apply_linear(lp["wq"], h, lp.get("bq"))
         k = apply_linear(lp["wk"], h, lp.get("bk"))
@@ -164,11 +169,22 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
         ff = jax.nn.silu(apply_linear(lp["wgate"], h)) * apply_linear(lp["wup"], h)
         x = x + apply_linear(lp["wdown"], ff)
+        if feature_layers is not None:
+            return x, (k_buf, v_buf, x_in)
         return x, (k_buf, v_buf)
 
-    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (params.layers, cache.k, cache.v))
+    if feature_layers is not None:
+        x, (k_new, v_new, layer_inputs) = jax.lax.scan(
+            layer_fn, x, (params.layers, cache.k, cache.v))
+        feats = jnp.concatenate([layer_inputs[i] for i in feature_layers],
+                                axis=-1)
+    else:
+        x, (k_new, v_new) = jax.lax.scan(
+            layer_fn, x, (params.layers, cache.k, cache.v))
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     head = params.embed.T if params.lm_head is None else params.lm_head
     logits = apply_linear(head, x).astype(jnp.float32)
     new_cache = cache._replace(k=k_new, v=v_new, length=cache.length + T)
+    if feature_layers is not None:
+        return logits, new_cache, feats
     return logits, new_cache

@@ -8,8 +8,10 @@ from .tokenwise import verify_tokenwise
 from .blockwise import verify_blockwise, verify_greedy
 from .hsd import verify_hsd
 from .dispatch import verify
+from .trie import verify_trie_greedy, verify_trie_hsd, verify_trie_typical
 
 __all__ = [
     "Telemetry", "VerifyResult", "verify", "verify_tokenwise",
     "verify_blockwise", "verify_greedy", "verify_hsd",
+    "verify_trie_greedy", "verify_trie_hsd", "verify_trie_typical",
 ]

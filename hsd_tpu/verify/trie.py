@@ -1,0 +1,208 @@
+"""Trie (tree-draft) verification for EAGLE-style drafting.
+
+Re-derived from the reference's `EAGLE-3H/eagle/model/utils.py:338-627`
+(`evaluate_posterior`). Candidates are the trie's root->leaf paths: rows
+[R, L] of token ids, col 0 = the committed root, -1 padding; `p[r, j]` is the
+target distribution AFTER consuming path tokens 0..j of row r (gathered via
+retrieve_indices from the tree forward). Draft proposals are deterministic
+top-k, so q == 1 per drafted token (one-hot draft distributions).
+
+Three modes, matching the reference:
+  * greedy (temperature 0, ref :362-375): longest path matching target argmax;
+  * typical (EAGLE default, ref :377-418): per-level sequential rejection over
+    the accepted node's children with zero-and-renormalize residuals
+    (SpecInfer-style, exactly lossless);
+  * trie-HSD (ref :420-627): the hierarchical joint test on paths, with
+    min(Jp, Jq) prefix capping, the step-back-zero rule for ratio >= 1, and
+    multipath residual reseeding — implemented as one lax.scan over rows
+    (no Python loops, no host syncs).
+
+All return (best_row, accept_len, sample_p): accept_len counts accepted
+tokens BEYOND the root; the caller commits candidates[best_row, 1:accept_len+1]
+and samples the next token from sample_p (ref update_inference_inputs,
+:629-684).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .common import TINY
+
+
+def _safe_log(x):
+    return jnp.where(x > 0, jnp.log(jnp.maximum(x, TINY)), -jnp.inf)
+
+
+def verify_trie_greedy(candidates: jax.Array, p: jax.Array):
+    """Greedy path acceptance (ref :362-375). p may be raw probabilities or
+    one-hot; only argmax is used."""
+    R, L = candidates.shape
+    tgt = jnp.argmax(p, axis=-1)                       # [R, L]
+    match = (candidates[:, 1:] == tgt[:, :-1]) & (candidates[:, 1:] >= 0)
+    acc_len = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+    accept_length = jnp.max(acc_len)
+    best = jnp.where(accept_length == 0, 0, jnp.argmax(acc_len))
+    sample_p = p[best, accept_length]
+    return best.astype(jnp.int32), accept_length.astype(jnp.int32), sample_p
+
+
+def verify_trie_typical(key: jax.Array, candidates: jax.Array, p: jax.Array):
+    """EAGLE's default sampling verification (ref :377-418): at each level,
+    try the accepted node's children in row order; accept child x w.p.
+    gtp[x]; on rejection zero gtp[x] and renormalize (recursive rejection
+    with one-hot q — exactly lossless)."""
+    R, L = candidates.shape
+    V = p.shape[-1]
+
+    def level(carry, i):
+        acc_len, best, sample_p, adjust, done = carry
+        active = (~done) & (i == acc_len)
+        # rows whose prefix matches the accepted path
+        prefix = candidates[best]                       # [L]
+        pos = jnp.arange(L)[None, :]
+        is_eq = jnp.all(jnp.where(pos < i[None], candidates == prefix[None],
+                                  True), axis=1)
+        fi = jnp.argmax(is_eq)                          # first matching row
+        gtp0 = p[fi, i - 1]                             # target dist at level
+        # dedup: a token counts only at its first matching row (ref :395-398)
+        tok = candidates[:, jnp.clip(i, 0, L - 1)]
+        same = (tok[None, :] == tok[:, None])           # [R, R]
+        earlier = jnp.tril(jnp.ones((R, R), bool), -1)
+        dup = jnp.any(same & earlier & is_eq[None, :], axis=1)
+        usable = is_eq & (~dup) & (tok >= 0)
+
+        def row(c, j):
+            gtp, accepted, bestj, adj = c
+            u = jax.random.uniform(jax.random.fold_in(key, i * R + j))
+            x = tok[j]
+            try_row = usable[j] & (~accepted)
+            acc = try_row & (u <= gtp[jnp.clip(x, 0, V - 1)])
+            rej = try_row & (~acc)
+            gtp_z = gtp.at[jnp.clip(x, 0, V - 1)].set(0.0)
+            s = jnp.sum(gtp_z)
+            gtp_n = jnp.where(s > 0, gtp_z / jnp.maximum(s, TINY), gtp_z)
+            gtp = jnp.where(rej, gtp_n, gtp)
+            bestj = jnp.where(acc, j, bestj)
+            adj = jnp.where(rej, True, adj)
+            return (gtp, accepted | acc, bestj, adj), None
+
+        (gtp, accepted, bestj, adj), _ = jax.lax.scan(
+            row, (gtp0, jnp.bool_(False), best, jnp.bool_(False)),
+            jnp.arange(R))
+
+        acc_len = jnp.where(active & accepted, acc_len + 1, acc_len)
+        best = jnp.where(active & accepted, bestj, best)
+        sample_p = jnp.where(active, gtp, sample_p)
+        adjust = jnp.where(active, adj, adjust)
+        done = done | (active & (~accepted))
+        return (acc_len, best, sample_p, adjust, done), None
+
+    init = (jnp.int32(1), jnp.int32(0), p[0, 0], jnp.bool_(False),
+            jnp.bool_(False))
+    (acc_len, best, gtp, adjust, done), _ = jax.lax.scan(
+        level, init, jnp.arange(1, L))
+
+    use_resid = adjust & (acc_len != L)
+    bonus = p[best, jnp.clip(acc_len - 1, 0, L - 1)]
+    sample_p = jnp.where(use_resid, gtp, bonus)
+    return best.astype(jnp.int32), (acc_len - 1).astype(jnp.int32), sample_p
+
+
+def verify_trie_hsd(key: jax.Array, candidates: jax.Array, p: jax.Array):
+    """Trie-HSD (ref :420-627): hierarchical joint verification over paths.
+
+    One lax.scan round per candidate row with prefix-match gating; q is
+    one-hot so all q-side joints stay 1. Scale-free log-space formulation as
+    in verify/hsd.py (the reference needs float64; this does not).
+    """
+    R, L = candidates.shape
+    V = p.shape[-1]
+    pf = p.astype(jnp.float32)
+    row_len = jnp.sum((candidates >= 0).astype(jnp.int32), axis=1)  # [R]
+    rel = jnp.arange(L)
+
+    def round_(carry, b):
+        n, ind, resid, log_jp_seed, has_seed, done, last_lb = carry
+        prefix = candidates[ind]
+        pos = jnp.arange(L)
+        gate = jnp.all(jnp.where(pos < n, candidates[b] == prefix, True))
+        active = (~done) & gate
+        Lb = row_len[b]
+
+        # window over positions n..Lb-1 (length Lb - n), fixed size L
+        idx = jnp.clip(n + rel, 0, L - 1)
+        valid = rel < (Lb - n)
+        x = candidates[b][idx]
+        # p rows: token at path position j uses p[b, j-1]
+        p_rows = pf[b][jnp.clip(idx - 1, 0, L - 1)]     # [L, V]
+        row0 = jnp.where(jnp.sum(resid) > 0,
+                         resid / jnp.maximum(jnp.sum(resid), TINY),
+                         jnp.zeros((V,)))
+        p_rows = p_rows.at[0].set(jnp.where(has_seed, row0, p_rows[0]))
+        xc = jnp.clip(x, 0, V - 1)
+        p_i = jnp.where(valid, p_rows[rel, xc], 1.0)
+        log_p_i = jnp.where(valid, _safe_log(p_i), 0.0)
+
+        seed_p = jnp.where(has_seed, log_jp_seed, 0.0)
+        log_jp_prev = seed_p + jnp.concatenate(
+            [jnp.zeros((1,)), jnp.cumsum(log_p_i)[:-1]])
+        # q-side joints are exactly 1 (one-hot proposals, ref :487-493)
+        r = jnp.exp(jnp.minimum(log_jp_prev, 0.0))      # min(Jp, Jq)/Jq
+
+        onehot_x = jax.nn.one_hot(xc, V, dtype=jnp.float32) \
+            * valid[:, None].astype(jnp.float32)
+        diffs = r[:, None] * p_rows - onehot_x
+        p_plus = jnp.maximum(diffs, 0.0)
+        s_plus = jnp.sum(p_plus, -1)
+        s_minus = jnp.sum(jnp.maximum(-diffs, 0.0), -1)
+        denom = jnp.maximum(s_plus, s_minus)
+        p_primes = jnp.where(denom[:, None] > 0,
+                             p_plus / jnp.maximum(denom, TINY)[:, None], 0.0)
+        sbp = jnp.where(denom > 0, 1.0 - s_plus / jnp.maximum(denom, TINY),
+                        1.0)
+        # ref :566 — never step back where the joint ratio already >= 1
+        sbp = jnp.where(log_jp_prev >= 0.0, 0.0, sbp)
+        sbp = jnp.clip(jnp.where(valid, sbp, 1.0), 0.0, 1.0)
+
+        u = jax.random.uniform(jax.random.fold_in(key, 2 * b), (L,))
+        not_sb = u >= sbp
+        last = L - 1 - jnp.argmax(not_sb[::-1])
+        stop_rel = jnp.where(jnp.any(not_sb), last, 0)
+
+        log_ratio = jnp.sum(log_p_i)                    # q contributes 0
+        u2 = jax.random.uniform(jax.random.fold_in(key, 2 * b + 1))
+        accept_all = jnp.log(jnp.maximum(u2, TINY)) <= log_ratio
+        num_valid = jnp.sum(valid.astype(jnp.int32))
+        csm = jnp.where(accept_all, num_valid, stop_rel)
+        n_new = n + csm
+
+        stop_row = jnp.clip(csm, 0, L - 1)
+        new_resid = p_primes[stop_row]
+        new_seed = log_jp_prev[stop_row]
+
+        n = jnp.where(active, n_new, n)
+        ind = jnp.where(active, b, ind)
+        resid = jnp.where(active, new_resid, resid)
+        log_jp_seed = jnp.where(active, new_seed, log_jp_seed)
+        has_seed = jnp.where(active, True, has_seed)
+        done = done | (active & (n_new >= L))
+        last_lb = jnp.where(active, Lb, last_lb)
+        return (n, ind, resid, log_jp_seed, has_seed, done, last_lb), None
+
+    init = (jnp.int32(1), jnp.int32(0), jnp.zeros((V,), jnp.float32),
+            jnp.float32(0.0), jnp.bool_(False), jnp.bool_(False),
+            row_len[0])
+    (n, ind, resid, _, _, _, last_lb), _ = jax.lax.scan(
+        round_, init, jnp.arange(R))
+
+    # final sampling distribution (ref :607-627)
+    bonus = pf[ind, jnp.clip(last_lb - 1, 0, L - 1)]
+    rs = jnp.sum(resid)
+    fb_idx = jnp.where(n + 1 < last_lb, jnp.clip(n + 1, 0, L - 1),
+                       jnp.clip(n, 0, L - 1))
+    fallback = jax.nn.one_hot(jnp.clip(candidates[ind, fb_idx], 0, V - 1), V,
+                              dtype=jnp.float32)
+    resample = jnp.where(rs > 0, resid / jnp.maximum(rs, TINY), fallback)
+    sample_p = jnp.where(n < last_lb, resample, bonus)
+    return ind.astype(jnp.int32), (n - 1).astype(jnp.int32), sample_p

@@ -1,0 +1,80 @@
+"""EAGLE-3 head training tests: loss decreases, checkpoint round-trip,
+data-parallel step on the CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hsd_tpu.config import ModelConfig
+from hsd_tpu.engine.eagle_engine import default_feature_layers
+from hsd_tpu.models import init_params
+from hsd_tpu.models.eagle import EagleConfig, init_eagle_params
+from hsd_tpu.train.eagle3 import (TrainConfig, init_train_state,
+                                  latest_checkpoint_step, make_train_step,
+                                  restore_checkpoint, save_checkpoint)
+
+TCFG = ModelConfig.tiny(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_layers=4, num_heads=4, num_kv_heads=2)
+ECFG = EagleConfig(hidden_size=32, target_hidden_size=32, num_heads=4,
+                   num_kv_heads=2, vocab_size=64, draft_vocab_size=64,
+                   intermediate_size=64, dtype=jnp.float32,
+                   rope_theta=10000.0)
+TC = TrainConfig(steps=3, lr=2e-3, warmup_steps=2, total_steps=50)
+
+
+def _setup():
+    pt = init_params(TCFG, jax.random.PRNGKey(0))
+    pe = init_eagle_params(ECFG, jax.random.PRNGKey(1))
+    state = init_train_state(pe, TC)
+    step = make_train_step(TCFG, ECFG, TC, default_feature_layers(TCFG))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 64)
+    lm = jnp.ones((2, 16), jnp.float32)
+    return pt, state, step, ids.astype(jnp.int32), lm
+
+
+def test_loss_decreases():
+    pt, state, step, ids, lm = _setup()
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, pt, ids, lm)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+
+
+def test_frozen_buffers_untouched():
+    pt, state, step, ids, lm = _setup()
+    emb0 = np.asarray(state.params.embed)
+    state, _ = step(state, pt, ids, lm)
+    np.testing.assert_array_equal(np.asarray(state.params.embed), emb0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    pt, state, step, ids, lm = _setup()
+    state, _ = step(state, pt, ids, lm)
+    save_checkpoint(str(tmp_path), state)
+    assert latest_checkpoint_step(str(tmp_path)) == 1
+    restored = restore_checkpoint(str(tmp_path), 1, state)
+    np.testing.assert_allclose(np.asarray(restored.params.fc),
+                               np.asarray(state.params.fc))
+    assert int(restored.step) == 1
+
+
+def test_data_parallel_step_matches_single():
+    """Batch sharded over the `data` axis must produce the same update."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hsd_tpu.parallel import make_mesh
+
+    pt, state, step, ids, lm = _setup()
+    s1, m1 = step(state, pt, ids, lm)
+
+    mesh = make_mesh(data=2, model=1)
+    with jax.set_mesh(mesh):
+        sharded_ids = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+        sharded_lm = jax.device_put(lm, NamedSharding(mesh, P("data", None)))
+        s2, m2 = step(state, pt, sharded_ids, sharded_lm)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.params.fc),
+                               np.asarray(s2.params.fc), rtol=1e-4, atol=1e-5)

@@ -1,9 +1,11 @@
 """Decode orchestration: KV cache, speculative + autoregressive + EAGLE loops."""
 from .kvcache import (KVCache, compact_path, init_cache, rollback,
                       select_draft_row)
-from .speculative import GenerateResult, make_autoregressive, make_generate
+from .speculative import (GenerateResult, make_autoregressive, make_generate,
+                          make_generate_batched)
 from .eagle_engine import EagleGenerateResult, make_eagle_generate
 
 __all__ = ["KVCache", "compact_path", "init_cache", "rollback",
            "select_draft_row", "GenerateResult", "make_autoregressive",
-           "make_generate", "EagleGenerateResult", "make_eagle_generate"]
+           "make_generate", "make_generate_batched", "EagleGenerateResult",
+           "make_eagle_generate"]

@@ -79,6 +79,49 @@ def _draft_block(cfg: ModelConfig, params, cache: KVCache, last2, last1,
     return draft_toks, q, cache
 
 
+def _draft_block_striped(cfg: ModelConfig, params, cache: KVCache, last2,
+                         last1, key, gamma: int, num_drafts: int,
+                         temperature: float):
+    """Striped-tree drafting (ref `_sample` parallel=False, utils.py:3369-3378):
+    rows = [primary] + gamma groups of (K-1) branch rows; group j mirrors the
+    primary through position j-1, samples its own alternative at position j,
+    then continues its own path. Mirroring = overriding not-yet-activated
+    rows' samples with the primary's, which keeps their KV bitwise identical
+    to row 0's without any copying."""
+    R = cache.batch
+    K = num_drafts
+    # activation step of each row: row 0 -> 0 (always its own), row
+    # 1 + j*(K-1) + c -> j
+    act = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.repeat(jnp.arange(gamma, dtype=jnp.int32), K - 1)])
+    keys = jax.random.split(key, gamma)
+
+    tok01 = jnp.stack([jnp.broadcast_to(last2, (R,)),
+                       jnp.broadcast_to(last1, (R,))], axis=1).astype(jnp.int32)
+    logits0, cache = transformer.forward(cfg, params, tok01, cache)
+    probs0 = process_logits(logits0[:, 1], temperature)          # [R, V]
+    s0 = jax.vmap(lambda k, pr: sample(k, pr))(
+        jax.random.split(keys[0], R), probs0).astype(jnp.int32)
+    x0 = jnp.where(act > 0, s0[0], s0)
+
+    def step(carry, inp):
+        cache, tok = carry
+        j, k = inp
+        logits, cache = transformer.forward(cfg, params, tok[:, None], cache)
+        probs = process_logits(logits[:, 0], temperature)        # [R, V]
+        s = jax.vmap(lambda kk, pr: sample(kk, pr))(
+            jax.random.split(k, R), probs).astype(jnp.int32)
+        nxt = jnp.where(act > j, s[0], s)
+        return (cache, nxt), (nxt, probs)
+
+    (cache, _), (toks, qs) = jax.lax.scan(
+        step, (cache, x0), (jnp.arange(1, gamma), keys[1:]))
+    draft_toks = jnp.concatenate([x0[:, None], toks.T], axis=1)  # [R, gamma]
+    q = jnp.concatenate([probs0[:, None], jnp.swapaxes(qs, 0, 1)], axis=1)
+    return draft_toks, q, cache
+
+
 def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
                   engine: EngineConfig):
     """Build a jitted speculative
@@ -90,6 +133,8 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
     """
     v = engine.verifier
     gamma, K = v.gamma, v.num_drafts
+    striped = (not v.parallel) and K > 1
+    R = 1 + gamma * (K - 1) if striped else K   # draft batch rows
     method = v.method
     temp = engine.temperature
     max_new = engine.max_new_tokens
@@ -100,16 +145,16 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
                  prompt_len: jax.Array, key: jax.Array) -> GenerateResult:
         P = prompt.shape[0]
         S = P + max_new + gamma + 2
-        start = jnp.broadcast_to(P - prompt_len, (K,)).astype(jnp.int32)
-        dcache = init_cache(cfg_draft, K, S)._replace(start=start)
-        tcache = init_cache(cfg_target, K, S)._replace(start=start)
+        start = jnp.broadcast_to(P - prompt_len, (R,)).astype(jnp.int32)
+        dcache = init_cache(cfg_draft, R, S)._replace(start=start)
+        tcache = init_cache(cfg_target, R, S)._replace(start=start)
 
         # --- prefill ---------------------------------------------------
         # Cache invariants between blocks: target holds committed-1 positions
         # (the newest token is re-fed each block, mirroring the reference's
         # crop-to-new_cur_len-1 bookkeeping, utils.py:5026); draft holds
         # committed-2 (see _draft_block).
-        prompt_k = jnp.broadcast_to(prompt[None, :], (K, P))
+        prompt_k = jnp.broadcast_to(prompt[None, :], (R, P))
         _, dcache = transformer.forward(cfg_draft, params_draft,
                                         prompt_k[:, :-2], dcache)
         _, tcache = transformer.forward(cfg_target, params_target,
@@ -130,20 +175,26 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
             key, kd, kv = jax.random.split(key, 3)
             last = tokens[length - 1]
 
-            # draft K rows of gamma tokens
-            draft_toks, q, dcache = _draft_block(
-                cfg_draft, params_draft, dcache, tokens[length - 2], last,
-                kd, gamma, temp)
+            # draft R rows of gamma tokens
+            if striped:
+                draft_toks, q, dcache = _draft_block_striped(
+                    cfg_draft, params_draft, dcache, tokens[length - 2], last,
+                    kd, gamma, K, temp)
+            else:
+                draft_toks, q, dcache = _draft_block(
+                    cfg_draft, params_draft, dcache, tokens[length - 2], last,
+                    kd, gamma, temp)
 
-            # one target forward over [last] + draft for all K rows
+            # one target forward over [last] + draft for all R rows
             tgt_in = jnp.concatenate(
-                [jnp.broadcast_to(last, (K, 1)).astype(jnp.int32), draft_toks],
-                axis=1)                                        # [K, gamma+1]
+                [jnp.broadcast_to(last, (R, 1)).astype(jnp.int32), draft_toks],
+                axis=1)                                        # [R, gamma+1]
             tlogits, tcache = transformer.forward(
                 cfg_target, params_target, tgt_in, tcache)
-            p = process_logits(tlogits, temp)                  # [K, gamma+1, V]
+            p = process_logits(tlogits, temp)                  # [R, gamma+1, V]
 
-            res = verify(method, kv, draft_toks, q, p)
+            res = verify(method, kv, draft_toks, q, p, num_drafts=K,
+                         striped=striped)
             n_commit = res.n_matches + 1
 
             # commit tokens
@@ -162,7 +213,7 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
             # for multidraft
             dcache = rollback(dcache, new_length - 2)
             tcache = rollback(tcache, new_length - 1)
-            if K > 1:
+            if R > 1:
                 dcache = select_draft_row(dcache, res.draft_index)
                 tcache = select_draft_row(tcache, res.draft_index)
 
@@ -190,6 +241,18 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
                               ncommit=length - P)
 
     return jax.jit(generate)
+
+
+def make_generate_batched(cfg_draft: ModelConfig, cfg_target: ModelConfig,
+                          engine: EngineConfig):
+    """Vmapped multi-request speculative generate: prompts [B, P] (same
+    bucket), prompt_lens [B], keys [B] -> batched GenerateResult. Requests run
+    in lockstep on device (each finishes independently via its own `done`
+    flag; the batch returns when all are done). The first step toward
+    request-level continuous batching; combine with the `data` mesh axis to
+    spread requests across chips."""
+    gen = make_generate(cfg_draft, cfg_target, engine)
+    return jax.jit(jax.vmap(gen, in_axes=(None, None, 0, 0, 0)))
 
 
 def make_autoregressive(cfg: ModelConfig, engine: EngineConfig):

@@ -1,1 +1,4 @@
-"""utils subpackage."""
+"""Telemetry and profiling utilities."""
+from .profiling import StageClock, Timer, trace
+
+__all__ = ["StageClock", "Timer", "trace"]

@@ -23,13 +23,18 @@ _METHODS = {
 }
 
 
-@functools.partial(jax.jit, static_argnames=("method", "return_telemetry"))
-def verify(method: str, key, draft_tokens, q, p, return_telemetry: bool = False):
-    """Verify K drafts of gamma tokens; see verify/common.py for the contract.
+@functools.partial(jax.jit, static_argnames=("method", "return_telemetry",
+                                             "num_drafts", "striped"))
+def verify(method: str, key, draft_tokens, q, p, return_telemetry: bool = False,
+           num_drafts: int = 0, striped: bool = False):
+    """Verify drafts of gamma tokens; see verify/common.py for the contract.
 
     method: 'tokenwise' | 'blockwise' | 'hsd' | 'greedy' (static).
+    num_drafts: K verification rounds (defaults to the row count);
+    striped: striped-tree row layout instead of parallel independent drafts.
     """
     fn = _METHODS[method]
     if method in ("tokenwise", "hsd"):
-        return fn(key, draft_tokens, q, p, return_telemetry=return_telemetry)
+        return fn(key, draft_tokens, q, p, return_telemetry=return_telemetry,
+                  num_drafts=num_drafts, striped=striped)
     return fn(key, draft_tokens, q, p)

@@ -54,9 +54,16 @@ def _safe_log(x: jax.Array) -> jax.Array:
 
 
 def verify_hsd(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
-               p: jax.Array, return_telemetry: bool = False):
-    """HSD-clever verification over K drafts (parallel multidraft gating)."""
-    K, gamma = draft_tokens.shape
+               p: jax.Array, return_telemetry: bool = False,
+               num_drafts: int = 0, striped: bool = False):
+    """HSD-clever verification over K drafts.
+
+    parallel mode (striped=False): K independent full drafts with prefix
+    gating; striped mode: row n_matches*(K-1)+b per round, no gate
+    (ref utils.py:5297) — see verify_tokenwise for the row layout.
+    """
+    R, gamma = draft_tokens.shape
+    K = num_drafts if num_drafts else R
     V = p.shape[-1]
     rel = jnp.arange(gamma)
 
@@ -73,13 +80,20 @@ def verify_hsd(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
     tel_q = jnp.zeros((gamma,), jnp.float32)
 
     for b in range(K):
-        bj = jnp.int32(b)
-        active = (~done) & prefix_matches(draft_tokens, bj, ind, n)
+        if striped:
+            row = jnp.clip(n * (K - 1) + b, 0, R - 1)
+            active = ~done
+        else:
+            row = jnp.int32(b)
+            active = (~done) & prefix_matches(draft_tokens, row, ind, n)
+        d_row = jnp.take(draft_tokens, row, axis=0)
+        q_all = jnp.take(q, row, axis=0)
+        p_all = jnp.take(p, row, axis=0)
         idx, valid = window_index(n, gamma)
-        x = draft_tokens[b, idx]
+        x = d_row[idx]
 
-        q_rows = q[b][idx, :].astype(jnp.float32)
-        p_rows = p[b][idx, :].astype(jnp.float32)
+        q_rows = q_all[idx, :].astype(jnp.float32)
+        p_rows = p_all[idx, :].astype(jnp.float32)
         # b>0 restart: substitute the stop row's distribution with the carried
         # residual, normalized (ref :5317-5324). Rows of p are already
         # normalized; only the substituted row needs it.
@@ -145,7 +159,7 @@ def verify_hsd(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
         new_log_jp = log_jp_prev[stop_row]
 
         n = jnp.where(active, n_new, n)
-        ind = jnp.where(active, bj, ind)
+        ind = jnp.where(active, row, ind)
         done = jnp.where(active, full, done)
         resid_row = jnp.where(active, new_resid, resid_row)
         log_jq_seed = jnp.where(active, new_log_jq, log_jq_seed)
@@ -161,15 +175,14 @@ def verify_hsd(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
     # the normalized residual at the stop position (ref :5551-5579). If the
     # residual mass is zero (p == q on the branch) fall back to the drafted
     # token one-hot, matching the trie variant's guard (EAGLE utils.py:615-621).
-    p_all = p.astype(jnp.float32)
-    bonus = p_all[jnp.clip(ind, 0, K - 1), gamma]
+    ind_c = jnp.clip(ind, 0, R - 1)
+    bonus = p.astype(jnp.float32)[ind_c, gamma]
     onehot = jax.nn.one_hot(
-        draft_tokens[jnp.clip(ind, 0, K - 1), jnp.clip(n, 0, gamma - 1)], V,
-        dtype=jnp.float32)
+        draft_tokens[ind_c, jnp.clip(n, 0, gamma - 1)], V, dtype=jnp.float32)
     resample = normalize(resid_row, fallback=onehot)
     final_dist = jnp.where(done, bonus, resample)
     t = categorical(jax.random.fold_in(key, 3 * K + 2), final_dist)
-    tokens = scatter_commit(draft_tokens[jnp.clip(ind, 0, K - 1)], t, n)
+    tokens = scatter_commit(jnp.take(draft_tokens, ind_c, axis=0), t, n)
     result = VerifyResult(tokens=tokens, n_matches=n, draft_index=ind, rounds=rounds)
     if return_telemetry:
         return result, Telemetry(tel_sbp, tel_p, tel_q)

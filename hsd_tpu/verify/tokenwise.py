@@ -29,13 +29,21 @@ from .common import (TINY, Telemetry, VerifyResult, categorical,
 
 
 def verify_tokenwise(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
-                     p: jax.Array, return_telemetry: bool = False):
-    """Tokenwise verification over K drafts (K = draft_tokens.shape[0]).
+                     p: jax.Array, return_telemetry: bool = False,
+                     num_drafts: int = 0, striped: bool = False):
+    """Tokenwise verification over K drafts.
 
-    Args mirror the module contract in common.py. K == 1 reduces exactly to
-    Leviathan et al. algorithm 1.
+    parallel mode (striped=False): K = draft_tokens.shape[0] independent full
+    drafts with prefix-match gating. striped mode: rows are laid out
+    [primary, then gamma groups of (num_drafts-1) branches, group j branching
+    off the primary at position j] and round b examines row
+    n_matches*(num_drafts-1)+b with no gate (ref utils.py:5679; the layout is
+    produced by `_sample` appending row-0 copies every step, :3369-3378).
+
+    K == 1 reduces exactly to Leviathan et al. algorithm 1.
     """
-    K, gamma = draft_tokens.shape
+    R, gamma = draft_tokens.shape
+    K = num_drafts if num_drafts else R
 
     n = jnp.int32(0)
     ind = jnp.int32(0)
@@ -48,13 +56,20 @@ def verify_tokenwise(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
     tel_q = jnp.zeros((gamma,), jnp.float32)
 
     for b in range(K):
-        bj = jnp.int32(b)
-        active = (~done) & prefix_matches(draft_tokens, bj, ind, n)
+        if striped:
+            row = jnp.clip(n * (K - 1) + b, 0, R - 1)
+            active = ~done
+        else:
+            row = jnp.int32(b)
+            active = (~done) & prefix_matches(draft_tokens, row, ind, n)
+        d_row = jnp.take(draft_tokens, row, axis=0)
+        q_all = jnp.take(q, row, axis=0)
+        p_all = jnp.take(p, row, axis=0)
         idx, valid = window_index(n, gamma)
-        x = draft_tokens[b, idx]
-        q_rows = q[b][idx, :]
+        x = d_row[idx]
+        q_rows = q_all[idx, :]
         q_i = gather_token_probs(q_rows, x)
-        p_rows = p[b][idx, :]
+        p_rows = p_all[idx, :]
         # substitute the restart row with the carried residual (b>0 rounds)
         p_rows = p_rows.at[0].set(jnp.where(has_resid, resid, p_rows[0]))
         p_i = p_rows[jnp.arange(gamma), x]
@@ -70,13 +85,13 @@ def verify_tokenwise(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
         # residual at the rejection position (recursive reseed for next round,
         # utils.py:5718-5727); bonus distribution if fully accepted.
         rej_p = p_rows[jnp.clip(csm, 0, gamma - 1)]
-        rej_q = q[b][jnp.clip(n_new, 0, gamma - 1)]
+        rej_q = q_all[jnp.clip(n_new, 0, gamma - 1)]
         new_resid = normalize(jnp.maximum(rej_p - rej_q, 0.0), fallback=rej_p)
-        new_resid = jnp.where(full, p[b][gamma], new_resid)
+        new_resid = jnp.where(full, p_all[gamma], new_resid)
 
         # fold this round into the carry only where active
         n = jnp.where(active, n_new, n)
-        ind = jnp.where(active, bj, ind)
+        ind = jnp.where(active, row, ind)
         resid = jnp.where(active, new_resid, resid)
         has_resid = jnp.where(active, ~full, has_resid)
         done = jnp.where(active, full, done)
@@ -89,7 +104,8 @@ def verify_tokenwise(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
     # final token: bonus p[ind, gamma] when fully accepted (already folded into
     # `resid`), otherwise the carried normalized residual.
     t = categorical(jax.random.fold_in(key, 2 * K + 1), resid)
-    tokens = scatter_commit(draft_tokens[jnp.clip(ind, 0, K - 1)], t, n)
+    tokens = scatter_commit(jnp.take(draft_tokens, jnp.clip(ind, 0, R - 1),
+                                     axis=0), t, n)
     result = VerifyResult(tokens=tokens, n_matches=n, draft_index=ind, rounds=rounds)
     if return_telemetry:
         return result, Telemetry(tel_sbp, tel_p, tel_q)

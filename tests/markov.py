@@ -32,8 +32,30 @@ def _draft_one(key, q_table, last, gamma):
     return toks.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("method", "K", "gamma", "blocks"))
-def spec_generate_markov(key, q_table, p_table, s0, *, method, K, gamma, blocks):
+def _draft_striped(key, q_table, last, gamma, K):
+    """Striped-tree draft rows: primary + (K-1) branches per position."""
+    R = 1 + gamma * (K - 1)
+    act = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.repeat(jnp.arange(gamma, dtype=jnp.int32),
+                                      K - 1)])
+
+    def step(prevs, inp):
+        j, k = inp
+        toks = jax.vmap(lambda kk, pr: jax.random.categorical(kk, jnp.log(pr)))(
+            jax.random.split(k, R), q_table[prevs]).astype(jnp.int32)
+        toks = jnp.where(act > j, toks[0], toks)
+        return toks, toks
+
+    init = jnp.full((R,), last, jnp.int32)
+    _, toks = jax.lax.scan(step, init,
+                           (jnp.arange(gamma), jax.random.split(key, gamma)))
+    return toks.T  # [R, gamma]
+
+
+@functools.partial(jax.jit, static_argnames=("method", "K", "gamma", "blocks",
+                                             "striped"))
+def spec_generate_markov(key, q_table, p_table, s0, *, method, K, gamma,
+                         blocks, striped=False):
     """Run `blocks` speculative blocks; return committed token buffer + count.
 
     Buffer is fixed shape [blocks * (gamma + 1)]; each block commits
@@ -45,13 +67,17 @@ def spec_generate_markov(key, q_table, p_table, s0, *, method, K, gamma, blocks)
     def block(carry, bkey):
         buf, off, last = carry
         kd, kv = jax.random.split(bkey)
-        drafts = jax.vmap(lambda k: _draft_one(k, q_table, last, gamma))(
-            jax.random.split(kd, K))                         # [K, gamma]
+        if striped:
+            drafts = _draft_striped(kd, q_table, last, gamma, K)
+        else:
+            drafts = jax.vmap(lambda k: _draft_one(k, q_table, last, gamma))(
+                jax.random.split(kd, K))                     # [K, gamma]
+        Rr = drafts.shape[0]
         prevs = jnp.concatenate(
-            [jnp.full((K, 1), last, jnp.int32), drafts], axis=1)  # [K, gamma+1]
-        q = q_table[prevs[:, :gamma]]                        # [K, gamma, V]
-        p = p_table[prevs]                                   # [K, gamma+1, V]
-        res = verify(method, kv, drafts, q, p)
+            [jnp.full((Rr, 1), last, jnp.int32), drafts], axis=1)
+        q = q_table[prevs[:, :gamma]]                        # [R, gamma, V]
+        p = p_table[prevs]                                   # [R, gamma+1, V]
+        res = verify(method, kv, drafts, q, p, num_drafts=K, striped=striped)
         ncommit = res.n_matches + 1
         # scatter committed tokens into the buffer at offset
         pos = jnp.arange(buf_len)

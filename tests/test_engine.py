@@ -65,6 +65,20 @@ def test_spec_generates_and_respects_budget(method, K):
     assert ((acc >= 0) & (acc <= 4)).all()
 
 
+@pytest.mark.parametrize("method", ["tokenwise", "hsd"])
+def test_striped_tree_engine(method):
+    """Striped-tree multidraft layout through the full engine."""
+    eng = EngineConfig(
+        verifier=VerifierConfig(method=method, gamma=3, num_drafts=3,
+                                parallel=False),
+        max_new_tokens=10)
+    gen = make_generate(CFG, CFG, eng)
+    res = gen(PD, PT, PROMPT, PLEN, jax.random.PRNGKey(11))
+    assert 1 <= int(res.ncommit) <= 13
+    toks = np.asarray(res.tokens)[10:int(res.length)]
+    assert ((toks >= 0) & (toks < CFG.vocab_size)).all()
+
+
 def test_left_padding_invariance():
     """The same prompt in a bigger left-padded bucket must decode greedily to
     the same tokens (pad slots are fully dead)."""

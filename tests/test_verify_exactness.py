@@ -20,7 +20,8 @@ GAMMA = 3
 N_TRIALS = 120_000
 
 
-def _run(method, K, seed=0, concentration=0.6, n_trials=N_TRIALS):
+def _run(method, K, seed=0, concentration=0.6, n_trials=N_TRIALS,
+         striped=False):
     key = jax.random.PRNGKey(seed)
     ktab, krun = jax.random.split(key)
     q_table, p_table = random_tables(ktab, V, concentration)
@@ -29,7 +30,7 @@ def _run(method, K, seed=0, concentration=0.6, n_trials=N_TRIALS):
     bufs, counts, _ = jax.vmap(
         lambda k: spec_generate_markov(
             k, q_table, p_table, s0, method=method, K=K, gamma=GAMMA,
-            blocks=T)
+            blocks=T, striped=striped)
     )(keys)
     assert int(counts.min()) >= T, "each trial must commit at least T tokens"
     emp = empirical_joint(bufs, V, T)
@@ -86,6 +87,21 @@ def marginal_first(joint):
 def empirical_joint_first(joint):
     import numpy as np
     return np.asarray(joint).reshape(V, -1).sum(axis=1)
+
+
+@pytest.mark.parametrize("method,tol", [("tokenwise", 0.20), ("hsd", 0.20)])
+def test_striped_tree_multidraft(method, tol):
+    """Striped-tree multidraft (parallel=False layout). The reference's
+    striped indexing re-uses branch rows conditioned on the PRIMARY path even
+    after the accepted prefix has diverged from it (utils.py:5679 — there is
+    no prefix gate in this mode), so the mode is structurally approximate:
+    measured TV ~0.15 on the Markov harness (docs/LOSSLESSNESS.md). The band
+    pins reference-level behavior; `parallel=True` is the recommended (and
+    benchmarked) multidraft mode. Must still beat the draft distribution."""
+    emp, target, draft = _run(method, 3, striped=True)
+    d_target = tv_distance(emp, target)
+    assert d_target < tol, f"striped {method}: TV {d_target:.4f}"
+    assert tv_distance(emp, draft) > tv_distance(emp, target) + 0.05
 
 
 def test_greedy_matches_argmax_chain():

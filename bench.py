@@ -15,6 +15,7 @@ Prints ONE json line:
 plus context fields (tokenwise BE, decode tok/s) for the record.
 """
 import json
+import os
 import time
 
 import jax
@@ -26,13 +27,14 @@ from hsd_tpu.engine import make_autoregressive, make_generate
 from hsd_tpu.models import init_params
 from hsd_tpu.ops.linear import QuantizedLinear, quantize
 
-GAMMA = 10
-MAX_NEW = 256
+GAMMA = int(os.environ.get("BENCH_GAMMA", 10))
+MAX_NEW = int(os.environ.get("BENCH_MAX_NEW", 256))
 LOGIT_SCALE = 4.0  # sharpens synthetic-weight logits into a realistic regime
+_LAYERS = int(os.environ.get("BENCH_LAYERS", 0))   # 0 = full 0.5B depth
 
 
 def build_models(key):
-    cfg = ModelConfig.qwen2_05b()
+    cfg = ModelConfig.qwen2_05b(**({"num_layers": _LAYERS} if _LAYERS else {}))
     target = init_params(cfg, key)
     target = target._replace(
         embed=(target.embed.astype(jnp.float32) * LOGIT_SCALE).astype(cfg.dtype))

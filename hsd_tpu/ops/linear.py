@@ -58,7 +58,11 @@ def quantize(w: jax.Array, bits: int = 8, group_size: int = 128,
         codes = jnp.clip(jnp.round(wf / scale[:, None, :] - zero[:, None, :]),
                          -qmax - 1, qmax)
         zeros = (-zero).astype(jnp.float32)
-    dtype = jnp.int8 if bits == 8 else jnp.int4
+    # int4 codes are stored in int8 containers: the axon PJRT backend cannot
+    # device_put native jnp.int4 arrays (RecursionError in layout handling),
+    # and the Pallas kernel consumes int8 tiles anyway. Packed-nibble int4
+    # storage is a planned kernel-side optimization.
+    dtype = jnp.int8
     return QuantizedLinear(qweight=codes.reshape(din, dout).astype(dtype),
                            scales=scale.astype(jnp.float32),
                            zeros=None if symmetric else zeros)

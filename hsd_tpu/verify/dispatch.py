@@ -15,10 +15,15 @@ from .blockwise import verify_blockwise, verify_greedy
 from .hsd import verify_hsd
 from .tokenwise import verify_tokenwise
 
+import functools as _ft
+
 _METHODS = {
     "tokenwise": verify_tokenwise,
     "blockwise": verify_blockwise,
+    # exact HSD (capped frontier — lossless, see docs/LOSSLESSNESS.md)
     "hsd": verify_hsd,
+    # behavioral parity with the committed reference (raw-joint frontier)
+    "hsd_ref": _ft.partial(verify_hsd, frontier="raw"),
     "greedy": verify_greedy,
 }
 
@@ -34,7 +39,7 @@ def verify(method: str, key, draft_tokens, q, p, return_telemetry: bool = False,
     striped: striped-tree row layout instead of parallel independent drafts.
     """
     fn = _METHODS[method]
-    if method in ("tokenwise", "hsd"):
+    if method in ("tokenwise", "hsd", "hsd_ref"):
         return fn(key, draft_tokens, q, p, return_telemetry=return_telemetry,
                   num_drafts=num_drafts, striped=striped)
     return fn(key, draft_tokens, q, p)

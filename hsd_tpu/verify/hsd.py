@@ -55,12 +55,22 @@ def _safe_log(x: jax.Array) -> jax.Array:
 
 def verify_hsd(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
                p: jax.Array, return_telemetry: bool = False,
-               num_drafts: int = 0, striped: bool = False):
+               num_drafts: int = 0, striped: bool = False,
+               frontier: str = "capped"):
     """HSD-clever verification over K drafts.
 
     parallel mode (striped=False): K independent full drafts with prefix
     gating; striped mode: row n_matches*(K-1)+b per round, no gate
     (ref utils.py:5297) — see verify_tokenwise for the row layout.
+
+    frontier: 'capped' (default) accepts the window with probability
+      min(1, rhat_{L-1} * p_{L-1}/q_{L-1}) where rhat is the CAPPED prefix
+      ratio — telescoping the hierarchy's mass-balance equations shows this
+      is the choice that makes the whole block EXACTLY lossless, verified by
+      noise-free enumeration (docs/LOSSLESSNESS.md). 'raw' reproduces the
+      committed reference (utils.py:5519, raw cumprod(p_i/q_i)), which
+      carries a small within-block bias; the reference's own commented-out
+      block (:5498-5512) suggests the capped form was intended.
     """
     R, gamma = draft_tokens.shape
     K = num_drafts if num_drafts else R
@@ -141,12 +151,18 @@ def verify_hsd(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
         not_stepped_back = (u >= sbp_masked)
         stop_rel = last_true_index(not_stepped_back)
 
-        # frontier joint acceptance over the whole window (ref :5519-5526)
-        log_joint_ratio = jnp.sum(log_p_i - log_q_i)
+        # frontier acceptance over the whole window
+        num_valid = jnp.sum(valid.astype(jnp.int32))
+        if frontier == "capped":
+            # exact rule: capped prefix ratio x last-position ratio — the
+            # choice that telescopes the hierarchy's mass balance exactly
+            log_acc = (log_jp_prev - log_cap - log_jq_prev) + log_p_i - log_q_i
+            log_joint_ratio = log_acc[jnp.clip(num_valid - 1, 0, gamma - 1)]
+        else:
+            # reference behavior: raw joint ratio (utils.py:5519)
+            log_joint_ratio = jnp.sum(log_p_i - log_q_i)
         u2 = jax.random.uniform(jax.random.fold_in(key, 3 * b + 1), ())
         accept_all = jnp.log(jnp.maximum(u2, TINY)) <= log_joint_ratio
-
-        num_valid = jnp.sum(valid.astype(jnp.int32))
         csm = jnp.where(accept_all, num_valid, stop_rel)
         n_new = n + csm
         full = n_new == gamma

@@ -109,12 +109,19 @@ def verify_trie_typical(key: jax.Array, candidates: jax.Array, p: jax.Array):
     return best.astype(jnp.int32), (acc_len - 1).astype(jnp.int32), sample_p
 
 
-def verify_trie_hsd(key: jax.Array, candidates: jax.Array, p: jax.Array):
+def verify_trie_hsd(key: jax.Array, candidates: jax.Array, p: jax.Array,
+                    frontier: str = "capped"):
     """Trie-HSD (ref :420-627): hierarchical joint verification over paths.
 
     One lax.scan round per candidate row with prefix-match gating; q is
     one-hot so all q-side joints stay 1. Scale-free log-space formulation as
     in verify/hsd.py (the reference needs float64; this does not).
+
+    frontier: 'capped' (default) uses the full capped joint INCLUDING the
+    carried residual seed — the exact-losslessness rule derived in
+    docs/LOSSLESSNESS.md (with q == 1 the cummax cap is inactive, so the rule
+    reduces to seed + window product); 'raw' drops the seed like the
+    committed reference (EAGLE utils.py:585).
     """
     R, L = candidates.shape
     V = p.shape[-1]
@@ -170,7 +177,12 @@ def verify_trie_hsd(key: jax.Array, candidates: jax.Array, p: jax.Array):
         last = L - 1 - jnp.argmax(not_sb[::-1])
         stop_rel = jnp.where(jnp.any(not_sb), last, 0)
 
-        log_ratio = jnp.sum(log_p_i)                    # q contributes 0
+        if frontier == "capped":
+            nv = jnp.sum(valid.astype(jnp.int32))
+            log_acc = jnp.minimum(log_jp_prev, 0.0) + log_p_i  # q contributes 0
+            log_ratio = log_acc[jnp.clip(nv - 1, 0, L - 1)]
+        else:
+            log_ratio = jnp.sum(log_p_i)
         u2 = jax.random.uniform(jax.random.fold_in(key, 2 * b + 1))
         accept_all = jnp.log(jnp.maximum(u2, TINY)) <= log_ratio
         num_valid = jnp.sum(valid.astype(jnp.int32))

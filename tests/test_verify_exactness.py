@@ -42,12 +42,12 @@ def _run(method, K, seed=0, concentration=0.6, n_trials=N_TRIALS,
 # Monte-Carlo TV tolerance: E[TV] ~ 0.5*C*sqrt(2p/(pi*N)) ~ 0.008 for
 # C=125 cells, N=120k; threshold 4x that.
 TOL = 0.035
-# The committed reference HSD algorithm is NOT exactly lossless (its
-# within-block later positions carry a small bias; a float64 transcription of
-# the reference torch math shows the same TV plateau — see
-# docs/LOSSLESSNESS.md). These bands pin our kernels to reference-level
-# behavior: regressions beyond it still fail.
-TOL_HSD = {1: 0.030, 4: 0.045}
+# method='hsd_ref' reproduces the COMMITTED reference algorithm, which is NOT
+# exactly lossless (raw-joint frontier test; a float64 transcription of the
+# reference torch math shows the same TV plateau — docs/LOSSLESSNESS.md).
+# These bands pin reference-level behavior: regressions beyond it still fail.
+# method='hsd' (capped frontier) is EXACT and held to the strict tolerance.
+TOL_HSD_REF = {1: 0.030, 4: 0.045}
 
 
 @pytest.mark.parametrize("method,K", [
@@ -55,6 +55,8 @@ TOL_HSD = {1: 0.030, 4: 0.045}
     ("tokenwise", 4),
     ("hsd", 1),
     ("hsd", 4),
+    ("hsd_ref", 1),
+    ("hsd_ref", 4),
     ("blockwise", 1),
 ])
 def test_lossless(method, K):
@@ -63,16 +65,17 @@ def test_lossless(method, K):
     d_draft = tv_distance(emp, draft)
     # power check: target and draft joints are well separated
     assert tv_distance(target, draft) > 0.2
-    tol = TOL_HSD[K] if method == "hsd" else TOL
+    tol = TOL_HSD_REF[K] if method == "hsd_ref" else TOL
     assert d_target < tol, f"{method} K={K}: TV to target {d_target:.4f}"
     assert d_draft > 0.1, f"{method} K={K}: output looks like the draft dist"
 
 
 def test_first_token_marginal_exact_all_methods():
     """The first committed token of a block is exactly p-distributed for every
-    verifier — including HSD (confirmed by exact enumeration; the HSD bias
-    only affects later within-block positions, docs/LOSSLESSNESS.md)."""
-    for method, K in [("tokenwise", 1), ("hsd", 1), ("hsd", 4), ("blockwise", 1)]:
+    verifier — including hsd_ref (confirmed by exact enumeration; the
+    reference bias only affects later within-block positions,
+    docs/LOSSLESSNESS.md)."""
+    for method, K in [("tokenwise", 1), ("hsd_ref", 1), ("hsd", 4), ("blockwise", 1)]:
         emp, target, _ = _run(method, K, n_trials=60_000)
         e1 = empirical_joint_first(emp)
         t1 = marginal_first(target)
@@ -132,26 +135,29 @@ def test_identical_models_accept_everything():
         assert int(count) == 4 * (GAMMA + 1), (method, K, np.asarray(ncommits))
 
 
-def test_hsd_block_efficiency_at_least_tokenwise():
+@pytest.mark.parametrize("method", ["hsd", "hsd_ref"])
+def test_hsd_block_efficiency_at_least_tokenwise(method):
     """The paper's headline claim: HSD accepts more tokens in expectation than
     tokenwise verification (README.md:120-125). Checked statistically on a
-    Markov pair with moderate divergence."""
+    Markov pair with moderate divergence. Note the exact 'hsd' lands at
+    blockwise-level BE (Sun et al. optimality bounds single-draft block
+    rules); 'hsd_ref' exceeds it partly through its acceptance bias
+    (docs/LOSSLESSNESS.md)."""
     key = jax.random.PRNGKey(21)
     q_table, p_table = random_tables(key, V, concentration=1.5)
     n = 30_000
 
-    def mean_commit(method):
+    def mean_commit(m):
         keys = jax.random.split(jax.random.PRNGKey(100), n)
         _, counts, _ = jax.vmap(
             lambda k: spec_generate_markov(
-                k, q_table, p_table, 0, method=method, K=1, gamma=GAMMA,
+                k, q_table, p_table, 0, method=m, K=1, gamma=GAMMA,
                 blocks=2)
         )(keys)
         return float(jnp.mean(counts)) / 2.0
 
     be_tok = mean_commit("tokenwise")
-    be_hsd = mean_commit("hsd")
-    # allow tiny MC slack but HSD must not be materially worse
+    be_hsd = mean_commit(method)
     assert be_hsd >= be_tok - 0.02, (be_tok, be_hsd)
 
 

@@ -175,3 +175,48 @@ def load_hf(path: str, cfg: Optional[ModelConfig] = None,
     final_norm = jnp.asarray(t["model.norm.weight"].astype(np.float32))
     return cfg, ModelParams(embed=embed, layers=layers,
                             final_norm=final_norm, lm_head=lm_head)
+
+
+def load_eagle_hf(path: str, target_embed, dtype=jnp.bfloat16):
+    """Load an EAGLE-3 draft-head checkpoint (e.g. EAGLE3-LLaMA3.1-Instruct-8B)
+    into EagleParams. The head checkpoint stores the fused decoder layer under
+    `midlayer.*` plus `fc/norm/lm_head/d2t/t2d` (ref: cnets.py:487-541);
+    embeddings are the frozen target's (`target_embed`).
+    """
+    from .eagle import EagleParams
+
+    t = _load_all_tensors(path)
+
+    def g(name, transpose=True):
+        w = t[name]
+        if transpose and w.ndim == 2:
+            w = w.T
+        return jnp.asarray(w.astype(np.float32)).astype(dtype)
+
+    def norm(name):
+        return jnp.asarray(t[name].astype(np.float32))
+
+    vd = t["lm_head.weight"].shape[0]
+    d2t = t.get("d2t")
+    t2d = t.get("t2d")
+    V = target_embed.shape[0]
+    return EagleParams(
+        embed=target_embed.astype(dtype),
+        fc=g("fc.weight"),
+        ln_input=norm("midlayer.input_layernorm.weight"),
+        ln_hidden=norm("midlayer.hidden_norm.weight"),
+        wq=g("midlayer.self_attn.q_proj.weight"),
+        wk=g("midlayer.self_attn.k_proj.weight"),
+        wv=g("midlayer.self_attn.v_proj.weight"),
+        wo=g("midlayer.self_attn.o_proj.weight"),
+        ln_post=norm("midlayer.post_attention_layernorm.weight"),
+        wgate=g("midlayer.mlp.gate_proj.weight"),
+        wup=g("midlayer.mlp.up_proj.weight"),
+        wdown=g("midlayer.mlp.down_proj.weight"),
+        norm=norm("norm.weight"),
+        lm_head=g("lm_head.weight"),
+        d2t=(jnp.asarray(d2t.astype(np.int64)).astype(jnp.int32)
+             if d2t is not None else jnp.zeros((vd,), jnp.int32)),
+        t2d=(jnp.asarray(t2d.astype(bool))
+             if t2d is not None else jnp.ones((V,), bool)),
+    )

@@ -40,6 +40,11 @@ class GenerateResult(NamedTuple):
     accepts: jax.Array       # [max_blocks] int32 n_matches per block (-1 unused)
     draft_lens: jax.Array    # [max_blocks] int32 drafted gamma per block
     ncommit: jax.Array       # int32 committed new tokens
+    # optional acceptance telemetry (the reference's return_probs channel,
+    # utils.py:5583): zeros unless EngineConfig/collect_telemetry
+    step_back_probs: jax.Array = jnp.zeros(())  # [max_blocks, gamma] f32
+    p_i: jax.Array = jnp.zeros(())              # [max_blocks, gamma] f32
+    q_i: jax.Array = jnp.zeros(())              # [max_blocks, gamma] f32
 
 
 def _draft_block(cfg: ModelConfig, params, cache: KVCache, last2, last1,
@@ -123,13 +128,15 @@ def _draft_block_striped(cfg: ModelConfig, params, cache: KVCache, last2,
 
 
 def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
-                  engine: EngineConfig):
+                  engine: EngineConfig, collect_telemetry: bool = False):
     """Build a jitted speculative
     `generate(params_draft, params_target, prompt, prompt_len, key)`.
 
     prompt: [P_bucket] int32, LEFT-padded to a static bucket length.
     prompt_len: int32 — actual prompt token count (pad = P_bucket - len).
     Returns GenerateResult (device arrays; one host sync to read them).
+    collect_telemetry: also record per-block step_back_probs / p_i / q_i
+    (the reference's return_probs channel).
     """
     v = engine.verifier
     gamma, K = v.gamma, v.num_drafts
@@ -163,14 +170,16 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
         tokens = jnp.zeros((S,), jnp.int32).at[:P].set(prompt)
         accepts = jnp.full((max_blocks,), -1, jnp.int32)
         dlens = jnp.full((max_blocks,), -1, jnp.int32)
+        tel0 = (jnp.zeros((max_blocks, gamma), jnp.float32),) * 3 \
+            if collect_telemetry else (jnp.zeros(()),) * 3
 
         def cond(state):
-            (_, length, done, _, _, _, _, _, blocks) = state
+            (_, length, done, _, _, _, _, _, _, blocks) = state
             return (~done) & (length + gamma + 1 <= S) & (blocks < max_blocks) \
                 & (length - P < max_new)
 
         def body(state):
-            (tokens, length, done, dcache, tcache, key, accepts, dlens,
+            (tokens, length, done, dcache, tcache, key, accepts, dlens, tel,
              blocks) = state
             key, kd, kv = jax.random.split(key, 3)
             last = tokens[length - 1]
@@ -193,8 +202,14 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
                 cfg_target, params_target, tgt_in, tcache)
             p = process_logits(tlogits, temp)                  # [R, gamma+1, V]
 
-            res = verify(method, kv, draft_toks, q, p, num_drafts=K,
-                         striped=striped)
+            if collect_telemetry and method in ("tokenwise", "hsd", "hsd_ref"):
+                res, tm = verify(method, kv, draft_toks, q, p, num_drafts=K,
+                                 striped=striped, return_telemetry=True)
+                tel = tuple(t.at[blocks].set(v) for t, v in
+                            zip(tel, (tm.step_back_probs, tm.p_i, tm.q_i)))
+            else:
+                res = verify(method, kv, draft_toks, q, p, num_drafts=K,
+                             striped=striped)
             n_commit = res.n_matches + 1
 
             # commit tokens
@@ -220,11 +235,11 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
             accepts = accepts.at[blocks].set(res.n_matches)
             dlens = dlens.at[blocks].set(gamma)
             return (tokens, new_length, done, dcache, tcache, key, accepts,
-                    dlens, blocks + 1)
+                    dlens, tel, blocks + 1)
 
         state = (tokens, jnp.int32(P), jnp.bool_(False), dcache, tcache, key,
-                 accepts, dlens, jnp.int32(0))
-        (tokens, length, done, _, _, _, accepts, dlens, blocks) = \
+                 accepts, dlens, tel0, jnp.int32(0))
+        (tokens, length, done, _, _, _, accepts, dlens, tel, blocks) = \
             jax.lax.while_loop(cond, body, state)
 
         # clamp to the token budget (a full block can overshoot by <= gamma),
@@ -238,7 +253,8 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
         return GenerateResult(tokens=tokens, length=length,
                               prompt_len=jnp.int32(P), blocks=blocks,
                               accepts=accepts, draft_lens=dlens,
-                              ncommit=length - P)
+                              ncommit=length - P,
+                              step_back_probs=tel[0], p_i=tel[1], q_i=tel[2])
 
     return jax.jit(generate)
 

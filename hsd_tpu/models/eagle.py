@@ -50,6 +50,29 @@ class EagleConfig:
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
 
+    @staticmethod
+    def from_json(path: str, **overrides) -> "EagleConfig":
+        """Load an EAGLE head config JSON (the reference's EConfig files,
+        eagle/model/configs.py / train/*_config.json)."""
+        import json
+
+        with open(path) as f:
+            c = json.load(f)
+        d = dict(
+            hidden_size=c["hidden_size"],
+            target_hidden_size=c.get("target_hidden_size", c["hidden_size"]),
+            num_heads=c["num_attention_heads"],
+            num_kv_heads=c.get("num_key_value_heads",
+                               c["num_attention_heads"]),
+            vocab_size=c["vocab_size"],
+            draft_vocab_size=c.get("draft_vocab_size", c["vocab_size"]),
+            rms_norm_eps=c.get("rms_norm_eps", 1e-5),
+            rope_theta=c.get("rope_theta", 500000.0),
+            intermediate_size=c.get("intermediate_size", 0),
+        )
+        d.update(overrides)
+        return EagleConfig(**d)
+
 
 class EagleParams(NamedTuple):
     embed: jax.Array        # [V, D] frozen target embeddings

@@ -89,3 +89,23 @@ def test_telemetry_channel():
     assert tel.step_back_probs.shape == (gamma,)
     sbp = np.asarray(tel.step_back_probs)
     assert ((sbp >= 0) & (sbp <= 1)).all()
+
+
+def test_forward_sampling_step():
+    from hsd_tpu.verify.forward_sampling import forward_sampling_step
+    V, L = 8, 4
+    key = jax.random.PRNGKey(0)
+    q = jax.random.dirichlet(key, jnp.ones((V,)), shape=(L,)).astype(jnp.float32)
+    p = jax.random.dirichlet(jax.random.PRNGKey(1), jnp.ones((V,)),
+                             shape=(L + 1,)).astype(jnp.float32)
+    cand = jnp.asarray([1, 2, 3, 0], jnp.int32)
+    toks, n = forward_sampling_step(jax.random.PRNGKey(2), cand, q, p,
+                                    jnp.int32(3), last_step=True)
+    assert toks.shape == (2,)
+    assert int(n) in (0, 1)
+    assert 0 <= int(toks[0]) < V
+    # identical p == q at the frontier position: resample must return a
+    # near-p distributed token; smoke the no-accept path
+    toks2, n2 = forward_sampling_step(jax.random.PRNGKey(3), cand, q, p,
+                                      jnp.int32(3), last_step=False)
+    assert int(n2) == 0

@@ -38,7 +38,7 @@ GAMMA = int(os.environ.get("BENCH_GAMMA", 10))
 MAX_NEW = int(os.environ.get("BENCH_MAX_NEW", 192))
 # LOGIT_SCALE sharpens the synthetic-weight logits; with a pure int8-GPTQ
 # draft (sigma=0) it is the knob that sets the acceptance regime
-LOGIT_SCALE = float(os.environ.get("BENCH_SCALE", 2.5))
+LOGIT_SCALE = float(os.environ.get("BENCH_SCALE", 2.0))
 _LAYERS = int(os.environ.get("BENCH_LAYERS", 0))   # 0 = full 0.5B depth
 SIGMA = float(os.environ.get("BENCH_SIGMA", 0.0))  # draft weight noise (rel)
 

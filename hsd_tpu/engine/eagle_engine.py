@@ -58,8 +58,12 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
     temp = engine.temperature
     max_new = engine.max_new_tokens
     eos = cfg_t.eos_token_id
-    feat_layers = default_feature_layers(cfg_t)
-    Dt3 = 3 * cfg_t.hidden_size
+    if ecfg.version == 1:
+        feat_layers = (-1,)               # final hidden state (EAGLE-1/2)
+        Dt3 = cfg_t.hidden_size
+    else:
+        feat_layers = default_feature_layers(cfg_t)
+        Dt3 = 3 * cfg_t.hidden_size
 
     assert mode in ("greedy", "typical", "hsd"), mode
 
@@ -95,7 +99,10 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
         from ..models.eagle import head_forward
         from ..ops.linear import apply_linear as _lin
         femb = jnp.take(params_e.embed, tokens[1:P], axis=0)[None]
-        ffeat = _lin(params_e.fc, feat_buf[:P - 1].astype(ecfg.dtype))[None]
+        if ecfg.version == 1:
+            ffeat = feat_buf[:P - 1].astype(ecfg.dtype)[None]
+        else:
+            ffeat = _lin(params_e.fc, feat_buf[:P - 1].astype(ecfg.dtype))[None]
         ppos = (jnp.arange(P - 1) - ekv.start)[None, :]
         _, ekv = head_forward(ecfg, params_e, femb.astype(ecfg.dtype), ffeat,
                               ekv, ppos)

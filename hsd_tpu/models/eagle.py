@@ -45,6 +45,11 @@ class EagleConfig:
     depth: int = 6
     total_tokens: int = 59   # nodes in the final trie EXCLUDING the root
     dtype: jnp.dtype = jnp.bfloat16
+    # 3 = EAGLE-3 fused head (cnets.py); 1 = EAGLE-1/2 legacy head
+    # (cnets1.py: hidden = fc(cat(emb, hidden)) with bias, then a standard
+    # decoder layer whose layer-0 input_layernorm is Identity, and the
+    # TARGET lm_head applied without an extra norm)
+    version: int = 3
 
     @property
     def head_dim(self) -> int:
@@ -76,7 +81,7 @@ class EagleConfig:
 
 class EagleParams(NamedTuple):
     embed: jax.Array        # [V, D] frozen target embeddings
-    fc: jax.Array           # [3*Dt, D]
+    fc: jax.Array           # [3*Dt, D] (v3) / [2*D, D] (v1)
     ln_input: jax.Array     # [D]   input_layernorm (token emb branch)
     ln_hidden: jax.Array    # [D]   hidden_norm (feature branch)
     wq: jax.Array           # [2D, H*hd]
@@ -91,6 +96,7 @@ class EagleParams(NamedTuple):
     lm_head: jax.Array      # [D, Vd]
     d2t: jax.Array          # [Vd] int32 offset: target_id = draft_id + d2t
     t2d: jax.Array          # [V] bool membership
+    fc_b: Any = None        # [D] fc bias (v1 legacy head only)
 
 
 def init_eagle_params(cfg: EagleConfig, key: jax.Array) -> EagleParams:
@@ -118,6 +124,41 @@ def init_eagle_params(cfg: EagleConfig, key: jax.Array) -> EagleParams:
         wdown=dense(next(ks), (F, D)),
         norm=jnp.ones((D,), jnp.float32),
         lm_head=dense(next(ks), (D, cfg.draft_vocab_size)),
+        d2t=jnp.zeros((cfg.draft_vocab_size,), jnp.int32),
+        t2d=jnp.ones((cfg.vocab_size,), bool),
+    )
+
+
+def init_eagle_params_v1(cfg: EagleConfig, key: jax.Array,
+                         target_lm_head: jax.Array = None) -> EagleParams:
+    """Random init for the EAGLE-1/2 legacy head (cnets1.py geometry)."""
+    D = cfg.hidden_size
+    F = cfg.intermediate_size or 4 * D
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    ks = iter(jax.random.split(key, 12))
+
+    def dense(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * shape[0] ** -0.5
+                ).astype(cfg.dtype)
+
+    lm = target_lm_head if target_lm_head is not None \
+        else dense(next(ks), (D, cfg.draft_vocab_size))
+    return EagleParams(
+        embed=dense(next(ks), (cfg.vocab_size, D)),
+        fc=dense(next(ks), (2 * D, D)),
+        fc_b=jnp.zeros((D,), cfg.dtype),
+        ln_input=jnp.ones((D,), jnp.float32),   # unused (Identity in v1)
+        ln_hidden=jnp.ones((D,), jnp.float32),  # unused
+        wq=dense(next(ks), (D, H * hd)),
+        wk=dense(next(ks), (D, Hkv * hd)),
+        wv=dense(next(ks), (D, Hkv * hd)),
+        wo=dense(next(ks), (H * hd, D)),
+        ln_post=jnp.ones((D,), jnp.float32),
+        wgate=dense(next(ks), (D, F)),
+        wup=dense(next(ks), (D, F)),
+        wdown=dense(next(ks), (F, D)),
+        norm=jnp.ones((D,), jnp.float32),       # unused (target head direct)
+        lm_head=lm,
         d2t=jnp.zeros((cfg.draft_vocab_size,), jnp.int32),
         t2d=jnp.ones((cfg.vocab_size,), bool),
     )
@@ -167,9 +208,17 @@ def head_forward(cfg: EagleConfig, p: EagleParams, token_emb: jax.Array,
     """
     B, T, D = token_emb.shape
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    residual = hidden
-    x = jnp.concatenate([_rms(token_emb, p.ln_input, cfg.rms_norm_eps),
-                         _rms(hidden, p.ln_hidden, cfg.rms_norm_eps)], -1)
+    if cfg.version == 1:
+        # legacy head: hidden = fc(cat(emb, hidden)) + bias; layer-0
+        # input_layernorm is Identity (cnets1.py:392-401, 523-623)
+        fused = apply_linear(p.fc, jnp.concatenate([token_emb, hidden], -1),
+                             p.fc_b)
+        residual = fused
+        x = fused
+    else:
+        residual = hidden
+        x = jnp.concatenate([_rms(token_emb, p.ln_input, cfg.rms_norm_eps),
+                             _rms(hidden, p.ln_hidden, cfg.rms_norm_eps)], -1)
     q = apply_linear(p.wq, x).reshape(B, T, H, hd)
     k = apply_linear(p.wk, x).reshape(B, T, Hkv, hd)
     v = apply_linear(p.wv, x).reshape(B, T, Hkv, hd)
@@ -204,8 +253,10 @@ def head_forward(cfg: EagleConfig, p: EagleParams, token_emb: jax.Array,
 
 
 def draft_logp(cfg: EagleConfig, p: EagleParams, hidden: jax.Array) -> jax.Array:
-    """log-softmax over the DRAFT vocab (cnets.py:700)."""
-    logits = apply_linear(p.lm_head, _rms(hidden, p.norm, cfg.rms_norm_eps))
+    """log-softmax over the DRAFT vocab (cnets.py:700). The v1 legacy head
+    applies the target lm_head directly (no extra norm, cnets1 topK path)."""
+    h = hidden if cfg.version == 1 else _rms(hidden, p.norm, cfg.rms_norm_eps)
+    logits = apply_linear(p.lm_head, h)
     return jax.nn.log_softmax(logits.astype(jnp.float32), -1)
 
 
@@ -237,8 +288,13 @@ def build_trie(cfg: EagleConfig, p: EagleParams, target_features: jax.Array,
     KV written during beam expansion is scratch past kv'.length).
     """
     K, depth, N = cfg.top_k, cfg.depth, cfg.total_tokens
-    # 1) absorb the new accepted tokens into the head state
-    feat = apply_linear(p.fc, target_features.astype(cfg.dtype))
+    # 1) absorb the new accepted tokens into the head state. v3 fuses the
+    # 3-layer feature stream through fc here; v1's fc runs inside
+    # head_forward on cat(emb, hidden), so features pass through raw.
+    if cfg.version == 1:
+        feat = target_features.astype(cfg.dtype)
+    else:
+        feat = apply_linear(p.fc, target_features.astype(cfg.dtype))
     emb = jnp.take(p.embed, tokens, axis=0).astype(cfg.dtype)
     T = tokens.shape[1]
     pos = prefix_len + jnp.arange(T)[None, :] - kv.start

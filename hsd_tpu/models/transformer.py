@@ -169,11 +169,13 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
         ff = jax.nn.silu(apply_linear(lp["wgate"], h)) * apply_linear(lp["wup"], h)
         x = x + apply_linear(lp["wdown"], ff)
-        if feature_layers is not None:
+        if collect_inputs:
             return x, (k_buf, v_buf, x_in)
         return x, (k_buf, v_buf)
 
-    if feature_layers is not None:
+    collect_inputs = (feature_layers is not None
+                      and tuple(feature_layers) != (-1,))
+    if collect_inputs:
         x, (k_new, v_new, layer_inputs) = jax.lax.scan(
             layer_fn, x, (params.layers, cache.k, cache.v))
         feats = jnp.concatenate([layer_inputs[i] for i in feature_layers],
@@ -181,6 +183,8 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
     else:
         x, (k_new, v_new) = jax.lax.scan(
             layer_fn, x, (params.layers, cache.k, cache.v))
+        # feature_layers == (-1,): EAGLE-1/2 stream = final pre-norm hidden
+        feats = x
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     head = params.embed.T if params.lm_head is None else params.lm_head
     logits = apply_linear(head, x).astype(jnp.float32)

@@ -104,10 +104,35 @@ def _gptq_matmul_xla(x: jax.Array, qw: QuantizedLinear) -> jax.Array:
     return out.reshape(*lead, dout).astype(x.dtype)
 
 
+# Pallas kernel opt-in for the quantized path. 'auto' uses it on TPU for
+# supported shapes; overridable for A/B benchmarking (HSD_TPU_GPTQ_PATH env:
+# auto | pallas | xla).
+import os as _os
+
+GPTQ_PATH = _os.environ.get("HSD_TPU_GPTQ_PATH", "auto")
+
+
+def _use_pallas(x, w) -> bool:
+    if GPTQ_PATH == "xla":
+        return False
+    try:
+        from .gptq_pallas import pallas_supported
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        return False
+    if GPTQ_PATH == "pallas":
+        return pallas_supported(x, w)
+    return on_tpu and pallas_supported(x, w)
+
+
 def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
     """y = x @ w (+ b) for dense arrays or QuantizedLinear pytrees."""
     if isinstance(w, QuantizedLinear):
-        y = _gptq_matmul_xla(x, w)
+        if _use_pallas(x, w):
+            from .gptq_pallas import gptq_matmul
+            y = gptq_matmul(x, w)
+        else:
+            y = _gptq_matmul_xla(x, w)
     else:
         y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype))
     if b is not None:

@@ -149,3 +149,35 @@ def test_eagle_generate_smoke(models, mode):
     assert ((toks >= 0) & (toks < 64)).all()
     acc = np.asarray(res.accepts)[:int(res.blocks)]
     assert ((acc >= 0) & (acc <= ECFG.depth + 1)).all()
+
+
+ECFG1 = dataclasses.replace(ECFG, version=1)
+
+
+def test_eagle_v1_greedy_equals_ar(models):
+    """EAGLE-1/2 legacy head mode: greedy must still reproduce the target's
+    greedy chain exactly (head quality only affects acceptance, never
+    correctness)."""
+    from hsd_tpu.models.eagle import init_eagle_params_v1
+    pt, _ = models
+    pe1 = init_eagle_params_v1(ECFG1, jax.random.PRNGKey(9))
+    prompt = (jnp.arange(8, dtype=jnp.int32) % 50) + 1
+    eng = EngineConfig(max_new_tokens=10, temperature=0.0)
+    gen = make_eagle_generate(TCFG, ECFG1, eng, mode="greedy")
+    res = gen(pt, pe1, prompt, jnp.int32(8), jax.random.PRNGKey(10))
+    ar = make_autoregressive(TCFG, eng)
+    t_ar, l_ar = ar(pt, prompt, jnp.int32(8), jax.random.PRNGKey(11))
+    n = min(int(res.length), int(l_ar))
+    np.testing.assert_array_equal(np.asarray(res.tokens)[8:n],
+                                  np.asarray(t_ar)[8:n])
+
+
+def test_eagle_v1_sampling_smoke(models):
+    from hsd_tpu.models.eagle import init_eagle_params_v1
+    pt, _ = models
+    pe1 = init_eagle_params_v1(ECFG1, jax.random.PRNGKey(12))
+    prompt = (jnp.arange(8, dtype=jnp.int32) % 50) + 1
+    eng = EngineConfig(max_new_tokens=8, temperature=1.0)
+    gen = make_eagle_generate(TCFG, ECFG1, eng, mode="hsd")
+    res = gen(pt, pe1, prompt, jnp.int32(8), jax.random.PRNGKey(13))
+    assert 1 <= int(res.ncommit) <= 8

@@ -69,6 +69,24 @@ def test_sharded_generate_runs(mesh):
     assert agree > 0.9, agree
 
 
+def test_sharded_logits_allgather_present(mesh):
+    """North-star wiring check (BASELINE.json): with the lm_head vocab-sharded
+    over `model`, the compiled forward all-gathers the verification logits
+    (tiny: gamma+1 rows) while weight matmuls stay sharded — and the KV path
+    stays collective-free (separate test)."""
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    toks = (jnp.arange(8, dtype=jnp.int32) % 50).reshape(1, 8)
+    cache = init_cache(CFG, 1, 16)
+    with jax.set_mesh(mesh):
+        sp = shard_params(params, mesh)
+        sc = jax.device_put(cache, jax.tree.map(
+            lambda s: NamedSharding(mesh, s), cache_specs()))
+        fn = jax.jit(lambda p, t, c: transformer.forward(CFG, p, t, c)[0])
+        txt = fn.lower(sp, toks, sc).compile().as_text()
+    assert "all-gather" in txt or "all-reduce" in txt, \
+        "expected a collective materializing full-vocab logits"
+
+
 def test_sharded_kv_rollback_is_local(mesh):
     """Rollback must not introduce cross-device communication: the compiled
     HLO for rollback on a sharded cache contains no collectives."""

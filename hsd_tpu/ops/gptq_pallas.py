@@ -40,10 +40,17 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gpb, gs,
     codes = w_ref[:].astype(jnp.float32)           # [in_blk, out_blk]
     in_blk, out_blk = codes.shape
     codes = codes.reshape(gpb, gs, out_blk)
-    g0 = pl.multiple_of(i * gpb, gpb)
-    scale = s_ref[pl.ds(g0, gpb), :].astype(jnp.float32)   # [gpb, out_blk]
-    if z_ref is not None:
-        z = z_ref[pl.ds(g0, gpb), :].astype(jnp.float32)
+    if n_in_blocks == 1:
+        # single in-block: the full scales array belongs to this block
+        scale = s_ref[:].astype(jnp.float32)       # [gpb, out_blk]
+        z = None if z_ref is None else z_ref[:].astype(jnp.float32)
+    else:
+        # gpb is 8-aligned by construction (see _pick_block_in), so the
+        # slice start is provably sublane-aligned for Mosaic
+        g0 = pl.multiple_of(i * gpb, 8)
+        scale = s_ref[pl.ds(g0, gpb), :].astype(jnp.float32)
+        z = None if z_ref is None else z_ref[pl.ds(g0, gpb), :].astype(jnp.float32)
+    if z is not None:
         w = (codes - z[:, None, :]) * scale[:, None, :]
     else:
         w = codes * scale[:, None, :]
@@ -56,12 +63,16 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gpb, gs,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _pick_block_in(din: int, gs: int, target: int = 2048) -> int:
-    """Largest multiple of gs dividing din with size <= target (fallback din)."""
+def _pick_block_in(din: int, gs: int, target: int = 8192) -> int:
+    """in-block size: whole din when it fits the VMEM budget (no group
+    slicing needed), else the largest divisor whose group count is 8-aligned
+    (Mosaic sublane constraint on the scales slice)."""
+    if din <= target:
+        return din
     n_groups = din // gs
     best = din
     for d in range(1, n_groups + 1):
-        if n_groups % d == 0 and d * gs <= target:
+        if n_groups % d == 0 and d % 8 == 0 and d * gs <= target:
             best = d * gs
     return best
 
@@ -89,6 +100,9 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 512,
         block_in = _pick_block_in(din, gs)
     block_in = min(block_in, din)
     while dout % block_out:
+        block_out //= 2
+    # VMEM budget: keep the double-buffered weight tile under ~8MB
+    while block_in * block_out > 4 * 1024 * 1024 and block_out > 128:
         block_out //= 2
     assert din % block_in == 0 and block_in % gs == 0, (din, block_in, gs)
     gpb = block_in // gs

@@ -35,7 +35,8 @@ from hsd_tpu.models import init_params
 from hsd_tpu.ops.linear import QuantizedLinear
 
 GAMMA = int(os.environ.get("BENCH_GAMMA", 10))
-MAX_NEW = int(os.environ.get("BENCH_MAX_NEW", 192))
+MAX_NEW = int(os.environ.get("BENCH_MAX_NEW", 256))
+N_PROMPTS = int(os.environ.get("BENCH_PROMPTS", 2))
 # LOGIT_SCALE sharpens the synthetic-weight logits; with a pure int8-GPTQ
 # draft (sigma=0) it is the knob that sets the acceptance regime
 LOGIT_SCALE = float(os.environ.get("BENCH_SCALE", 2.0))
@@ -80,7 +81,7 @@ def build_models(key, sigma, logit_scale=None):
     return cfg, draft, target
 
 
-def run(gen, pd, pt, prompt, plen, key, n_prompts=1):
+def run(gen, pd, pt, prompt, plen, key, n_prompts=N_PROMPTS):
     accepts, toks, secs = [], 0, 0.0
     for i in range(n_prompts):
         res = gen(pd, pt, prompt, plen, jax.random.fold_in(key, i))

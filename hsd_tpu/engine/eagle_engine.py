@@ -47,6 +47,35 @@ def default_feature_layers(cfg: ModelConfig) -> Tuple[int, int, int]:
     return (min(2, L - 1), L // 2, max(L - 3, 0))
 
 
+def autotune_total_tokens(cfg_t: ModelConfig, ecfg: EagleConfig,
+                          engine: EngineConfig, params_t, params_e,
+                          prompt, prompt_len, key,
+                          candidates=(23, 47, 59), mode: str = "hsd"):
+    """Pick the trie size by timing short generates — the reference's
+    total_token auto-tune (ea_model.py:143-164 times forward passes per
+    candidate and keeps the fastest). Returns (best EagleConfig, stats)."""
+    import dataclasses as _dc
+    import time as _time
+
+    short = _dc.replace(engine, max_new_tokens=min(32, engine.max_new_tokens))
+    stats = {}
+    best, best_tps = None, -1.0
+    for tt in candidates:
+        ecfg_c = _dc.replace(ecfg, total_tokens=tt)
+        gen = make_eagle_generate(cfg_t, ecfg_c, short, mode=mode)
+        res = gen(params_t, params_e, prompt, prompt_len, key)  # compile+warm
+        res.tokens.block_until_ready()
+        t0 = _time.perf_counter()
+        res = gen(params_t, params_e, prompt, prompt_len,
+                  jax.random.fold_in(key, 1))
+        res.tokens.block_until_ready()
+        tps = int(res.ncommit) / (_time.perf_counter() - t0)
+        stats[tt] = tps
+        if tps > best_tps:
+            best, best_tps = ecfg_c, tps
+    return best, stats
+
+
 def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
                         engine: EngineConfig, mode: str = "hsd"):
     """Build jitted `generate(params_target, eagle_params, prompt, prompt_len,

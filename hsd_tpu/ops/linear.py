@@ -122,7 +122,13 @@ def _use_pallas(x, w) -> bool:
         return False
     if GPTQ_PATH == "pallas":
         return pallas_supported(x, w)
-    return on_tpu and pallas_supported(x, w)
+    # auto: measured on v5e — XLA's fused int8 path wins for the decode
+    # regime (few rows), the Pallas tile pipeline wins once rows amortize the
+    # call overhead (prefill / large batches)
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    return on_tpu and rows >= 256 and pallas_supported(x, w)
 
 
 def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:

@@ -78,3 +78,24 @@ def test_data_parallel_step_matches_single():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(s1.params.fc),
                                np.asarray(s2.params.fc), rtol=1e-4, atol=1e-5)
+
+
+def test_eagle1_loss_decreases():
+    import dataclasses
+    from hsd_tpu.models.eagle import init_eagle_params_v1
+    from hsd_tpu.train.eagle1 import make_eagle1_train_step
+    from hsd_tpu.train.eagle3 import init_train_state
+
+    ecfg1 = dataclasses.replace(ECFG, version=1)
+    pt = init_params(TCFG, jax.random.PRNGKey(0))
+    pe = init_eagle_params_v1(ecfg1, jax.random.PRNGKey(1))
+    state = init_train_state(pe, TC)
+    step = make_eagle1_train_step(TCFG, ecfg1, TC)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 64).astype(jnp.int32)
+    lm = jnp.ones((2, 16), jnp.float32)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, pt, ids, lm)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses

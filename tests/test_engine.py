@@ -89,3 +89,17 @@ def test_left_padding_invariance():
     a = np.asarray(res1.tokens)[10:10 + 12]
     b = np.asarray(res2.tokens)[16:16 + 12]
     np.testing.assert_array_equal(a, b)
+
+
+def test_bitwise_determinism():
+    """Same PRNG key => identical committed stream, across separate calls
+    (explicit key threading is what makes losslessness bit-testable,
+    SURVEY.md §7)."""
+    gen = _spec("hsd", 2, 1.0, max_new=12)
+    r1 = gen(PD, PT, PROMPT, PLEN, jax.random.PRNGKey(42))
+    r2 = gen(PD, PT, PROMPT, PLEN, jax.random.PRNGKey(42))
+    assert int(r1.length) == int(r2.length)
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+    r3 = gen(PD, PT, PROMPT, PLEN, jax.random.PRNGKey(43))
+    assert not np.array_equal(np.asarray(r1.tokens)[:int(r1.length)],
+                              np.asarray(r3.tokens)[:int(r3.length)])

@@ -78,6 +78,10 @@ def build_models(key, sigma, logit_scale=None):
                                    scales=jnp.asarray(np.stack(scales)),
                                    zeros=jnp.asarray(np.stack(zeros)))
     draft = target._replace(layers=dl)
+    # single-chip: fused qkv / gate|up layouts (fewer ops per decode step)
+    from hsd_tpu.models.transformer import fuse_params
+    draft = fuse_params(cfg, draft)
+    target = fuse_params(cfg, target)
     return cfg, draft, target
 
 

@@ -72,6 +72,38 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> ModelParams:
                        final_norm=jnp.ones((D,), jnp.float32), lm_head=lm_head)
 
 
+def fuse_params(cfg: ModelConfig, params: ModelParams) -> ModelParams:
+    """Fuse qkv and gate|up projections into single matmuls (out-features
+    concatenated) — fewer ops per layer, which is the dominant cost in the
+    per-op-overhead-bound single-token decode regime (docs/BENCHMARKS.md).
+
+    Single-chip / replicated layout only: the fused out-features axis does
+    not align with head-granular tensor-parallel shards, so TP runs keep the
+    unfused layout (Megatron-style interleaving is future work).
+    Works for dense and QuantizedLinear weights (codes/scales/zeros
+    concatenate on the out axis).
+    """
+    from ..ops.linear import QuantizedLinear
+
+    L = dict(params.layers)
+
+    def cat(ws):
+        if isinstance(ws[0], QuantizedLinear):
+            return QuantizedLinear(
+                qweight=jnp.concatenate([w.qweight for w in ws], axis=-1),
+                scales=jnp.concatenate([w.scales for w in ws], axis=-1),
+                zeros=None if ws[0].zeros is None else
+                jnp.concatenate([w.zeros for w in ws], axis=-1))
+        return jnp.concatenate(ws, axis=-1)
+
+    L["wqkv"] = cat([L.pop("wq"), L.pop("wk"), L.pop("wv")])
+    if "bq" in L:
+        L["bqkv"] = jnp.concatenate([L.pop("bq"), L.pop("bk"), L.pop("bv")],
+                                    axis=-1)
+    L["wgu"] = cat([L.pop("wgate"), L.pop("wup")])
+    return params._replace(layers=L)
+
+
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -154,9 +186,16 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         lp, k_buf, v_buf = inp
         x_in = x
         h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q = apply_linear(lp["wq"], h, lp.get("bq"))
-        k = apply_linear(lp["wk"], h, lp.get("bk"))
-        v = apply_linear(lp["wv"], h, lp.get("bv"))
+        if "wqkv" in lp:
+            # fused single-chip layout (fuse_params): one matmul for q|k|v
+            qkv = apply_linear(lp["wqkv"], h, lp.get("bqkv"))
+            q = qkv[..., :H * hd]
+            k = qkv[..., H * hd:(H + Hkv) * hd]
+            v = qkv[..., (H + Hkv) * hd:]
+        else:
+            q = apply_linear(lp["wq"], h, lp.get("bq"))
+            k = apply_linear(lp["wk"], h, lp.get("bk"))
+            v = apply_linear(lp["wv"], h, lp.get("bv"))
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, Hkv, hd)
         v = v.reshape(B, T, Hkv, hd)
@@ -167,7 +206,14 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
                          attn_bias)
         x = x + apply_linear(lp["wo"], att.reshape(B, T, H * hd))
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        ff = jax.nn.silu(apply_linear(lp["wgate"], h)) * apply_linear(lp["wup"], h)
+        if "wgu" in lp:
+            F = lp["wdown"].shape[-2] if not hasattr(lp["wdown"], "qweight") \
+                else lp["wdown"].qweight.shape[-2]
+            gu = apply_linear(lp["wgu"], h)
+            ff = jax.nn.silu(gu[..., :F]) * gu[..., F:]
+        else:
+            ff = jax.nn.silu(apply_linear(lp["wgate"], h)) \
+                * apply_linear(lp["wup"], h)
         x = x + apply_linear(lp["wdown"], ff)
         if collect_inputs:
             return x, (k_buf, v_buf, x_in)

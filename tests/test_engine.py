@@ -103,3 +103,17 @@ def test_bitwise_determinism():
     r3 = gen(PD, PT, PROMPT, PLEN, jax.random.PRNGKey(43))
     assert not np.array_equal(np.asarray(r1.tokens)[:int(r1.length)],
                               np.asarray(r3.tokens)[:int(r3.length)])
+
+
+def test_fused_params_equivalence():
+    """fuse_params (qkv + gate|up fusion) must be numerically identical."""
+    from hsd_tpu.engine.kvcache import init_cache
+    from hsd_tpu.models import transformer
+    fused = transformer.fuse_params(CFG, PT)
+    toks = (jnp.arange(6, dtype=jnp.int32) % 50)[None, :] + 1
+    c1 = init_cache(CFG, 1, 8)
+    c2 = init_cache(CFG, 1, 8)
+    l1, _ = transformer.forward(CFG, PT, toks, c1)
+    l2, _ = transformer.forward(CFG, fused, toks, c2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-5, atol=1e-5)

@@ -37,6 +37,7 @@ from hsd_tpu.ops.linear import QuantizedLinear
 GAMMA = int(os.environ.get("BENCH_GAMMA", 10))
 MAX_NEW = int(os.environ.get("BENCH_MAX_NEW", 256))
 N_PROMPTS = int(os.environ.get("BENCH_PROMPTS", 2))
+N_DRAFTS = int(os.environ.get("BENCH_DRAFTS", 1))  # 11 = reference config 3
 # LOGIT_SCALE sharpens the synthetic-weight logits; with a pure int8-GPTQ
 # draft (sigma=0) it is the knob that sets the acceptance regime
 LOGIT_SCALE = float(os.environ.get("BENCH_SCALE", 2.0))
@@ -121,7 +122,8 @@ def main():
     results = {}
     for method in ("hsd", "tokenwise"):
         eng = EngineConfig(
-            verifier=VerifierConfig(method=method, gamma=GAMMA, num_drafts=1),
+            verifier=VerifierConfig(method=method, gamma=GAMMA,
+                                    num_drafts=N_DRAFTS),
             max_new_tokens=MAX_NEW)
         gen = make_generate(cfg, cfg, eng)
         results[method] = run(gen, pd, pt, prompt, plen,
@@ -140,7 +142,7 @@ def main():
             "tokenwise_tok_s": round(tps_tok, 1),
             "speedup_hsd_vs_tokenwise": round(tps_hsd / tps_tok, 3),
             "setup": f"synthetic 0.5B-geometry bf16 target, int8-GPTQ+noise "
-                     f"draft (sigma={SIGMA}), gamma={GAMMA}",
+                     f"draft (sigma={SIGMA}), gamma={GAMMA}, K={N_DRAFTS}",
         },
     }))
 

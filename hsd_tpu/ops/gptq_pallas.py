@@ -28,9 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .linear import QuantizedLinear
 
 
-def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gpb, gs,
-            n_in_blocks):
-    """Grid (out_blocks, in_blocks); accumulate x_blk @ dequant(w_blk)."""
+def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs, n_in_blocks):
+    """Grid (out_blocks, in_blocks); accumulate x_blk @ (codes * scale).
+
+    Zero-points are handled OUTSIDE the kernel as a rank-1 correction
+    (y -= (sum_i x_g[i]) @ (zero*scale)), so the hot loop dequantizes with a
+    single fused convert-multiply — the elementwise dequant is the VPU-bound
+    part of this memory-streaming kernel (docs/BENCHMARKS.md)."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -43,18 +47,12 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gpb, gs,
     if n_in_blocks == 1:
         # single in-block: the full scales array belongs to this block
         scale = s_ref[:].astype(jnp.float32)       # [gpb, out_blk]
-        z = None if z_ref is None else z_ref[:].astype(jnp.float32)
     else:
         # gpb is 8-aligned by construction (see _pick_block_in), so the
         # slice start is provably sublane-aligned for Mosaic
         g0 = pl.multiple_of(i * gpb, 8)
         scale = s_ref[pl.ds(g0, gpb), :].astype(jnp.float32)
-        z = None if z_ref is None else z_ref[pl.ds(g0, gpb), :].astype(jnp.float32)
-    if z is not None:
-        w = (codes - z[:, None, :]) * scale[:, None, :]
-    else:
-        w = codes * scale[:, None, :]
-    w = w.reshape(in_blk, out_blk)
+    w = (codes * scale[:, None, :]).reshape(in_blk, out_blk)
     acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
                           preferred_element_type=jnp.float32)
 
@@ -77,9 +75,11 @@ def _pick_block_in(din: int, gs: int, target: int = 8192) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("block_out", "block_in", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_out", "block_in",
+                                             "interpret", "vmem_cap_mb"))
 def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 512,
-                block_in: int = 0, interpret: bool = False) -> jax.Array:
+                block_in: int = 0, interpret: bool = False,
+                vmem_cap_mb: int = 4) -> jax.Array:
     """y = x @ dequant(qw). x: [..., in]; returns [..., out] in x.dtype.
 
     Rows are padded to the f32 sublane (8). in must divide by a multiple of
@@ -101,8 +101,8 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 512,
     block_in = min(block_in, din)
     while dout % block_out:
         block_out //= 2
-    # VMEM budget: keep the double-buffered weight tile under ~8MB
-    while block_in * block_out > 4 * 1024 * 1024 and block_out > 128:
+    # VMEM budget: keep the double-buffered weight tile bounded
+    while block_in * block_out > vmem_cap_mb * 1024 * 1024 and block_out > 128:
         block_out //= 2
     assert din % block_in == 0 and block_in % gs == 0, (din, block_in, gs)
     gpb = block_in // gs
@@ -118,16 +118,7 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 512,
                      memory_space=pltpu.VMEM),
     ]
     args = [x2, qw.qweight, qw.scales]
-    if qw.zeros is not None:
-        in_specs.append(pl.BlockSpec((groups, block_out), lambda o, i: (0, o),
-                                     memory_space=pltpu.VMEM))
-        args.append(qw.zeros)
-        kern = functools.partial(_kernel, gpb=gpb, gs=gs,
-                                 n_in_blocks=n_in_blocks)
-    else:
-        def kern(x_ref, w_ref, s_ref, o_ref, acc_ref):
-            _kernel(x_ref, w_ref, s_ref, None, o_ref, acc_ref, gpb=gpb,
-                    gs=gs, n_in_blocks=n_in_blocks)
+    kern = functools.partial(_kernel, gpb=gpb, gs=gs, n_in_blocks=n_in_blocks)
 
     out = pl.pallas_call(
         kern,
@@ -145,6 +136,13 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 512,
             transcendentals=0),
         interpret=interpret,
     )(*args)
+
+    if qw.zeros is not None:
+        # rank-1 zero-point correction outside the kernel:
+        # y[n,o] -= sum_g (sum_{i in g} x[n,i]) * zero[g,o]*scale[g,o]
+        zs = (qw.zeros.astype(jnp.float32) * qw.scales.astype(jnp.float32))
+        xg = jnp.sum(x2.astype(jnp.float32).reshape(npad, groups, gs), axis=2)
+        out = out - (xg @ zs).astype(out.dtype)
     return out[:n].reshape(*lead, dout)
 
 

@@ -30,13 +30,29 @@ from ..engine.kvcache import KVCache, append_layer
 from ..ops.linear import apply_linear, init_dense
 
 
+class QuantizedEmbedding(NamedTuple):
+    """Per-row int8 embedding: row v dequantizes as codes[v] * scale[v].
+    Halves the embedding-table HBM footprint (the last bf16 holdout in a
+    fully-int8 target, docs/BENCHMARKS.md scale-stress section)."""
+
+    codes: jax.Array    # [V, D] int8
+    scale: jax.Array    # [V] float32/bf16
+
+
+def quantize_embedding(embed: jax.Array) -> QuantizedEmbedding:
+    w = embed.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=1), 1e-8) / 127.0
+    codes = jnp.clip(jnp.round(w / scale[:, None]), -127, 127).astype(jnp.int8)
+    return QuantizedEmbedding(codes=codes, scale=scale)
+
+
 class ModelParams(NamedTuple):
     """Pytree of model weights. `layers` leaves carry a leading [L] axis."""
 
-    embed: Any                  # [V, D]
+    embed: Any                  # [V, D] array or QuantizedEmbedding
     layers: Dict[str, Any]
     final_norm: jax.Array       # [D]
-    lm_head: Any                # [D, V] or None when tied to embed
+    lm_head: Any                # [D, V] / QuantizedLinear / None when tied
 
 
 def init_params(cfg: ModelConfig, key: jax.Array) -> ModelParams:
@@ -180,7 +196,12 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         # RoPE positions discount the dead left-pad region
         positions = jnp.maximum(q_index - cache.start[:, None], 0)
 
-    x = jnp.take(params.embed, tokens, axis=0).astype(cfg.dtype)
+    if isinstance(params.embed, QuantizedEmbedding):
+        rows = jnp.take(params.embed.codes, tokens, axis=0).astype(jnp.float32)
+        sc = jnp.take(params.embed.scale, tokens, axis=0).astype(jnp.float32)
+        x = (rows * sc[..., None]).astype(cfg.dtype)
+    else:
+        x = jnp.take(params.embed, tokens, axis=0).astype(cfg.dtype)
 
     def layer_fn(x, inp):
         lp, k_buf, v_buf = inp
@@ -232,7 +253,13 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         # feature_layers == (-1,): EAGLE-1/2 stream = final pre-norm hidden
         feats = x
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
-    head = params.embed.T if params.lm_head is None else params.lm_head
+    if params.lm_head is None:
+        assert not isinstance(params.embed, QuantizedEmbedding), \
+            "tied head requires a dense embedding (use an untied " \
+            "QuantizedLinear lm_head with QuantizedEmbedding)"
+        head = params.embed.T
+    else:
+        head = params.lm_head
     logits = apply_linear(head, x).astype(jnp.float32)
     new_cache = cache._replace(k=k_new, v=v_new, length=cache.length + T)
     if feature_layers is not None:

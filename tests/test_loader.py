@@ -142,3 +142,36 @@ def test_gptq_checkpoint_loads_stacked(tmp_path):
     cache = init_cache(cfg, 1, 8)
     logits, _ = transformer.forward(cfg, params, toks, cache)
     assert not bool(jnp.isnan(logits).any())
+
+
+def test_quantized_embedding_forward():
+    """QuantizedEmbedding (per-row int8) matches the dense embedding closely
+    and runs through the full forward with an untied quantized head."""
+    import dataclasses
+    from hsd_tpu.models.transformer import (QuantizedEmbedding,
+                                            quantize_embedding)
+    from hsd_tpu.models import init_params
+    from hsd_tpu.ops.linear import quantize
+
+    cfg = dataclasses.replace(ModelConfig.tiny(vocab_size=128, hidden_size=256,
+                                               intermediate_size=256,
+                                               num_layers=2, num_heads=4,
+                                               num_kv_heads=4, head_dim=64),
+                              tie_word_embeddings=False)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qe = quantize_embedding(params.embed)
+    # roundtrip error bounded by the per-row step
+    dq = qe.codes.astype(jnp.float32) * qe.scale[:, None]
+    err = jnp.abs(dq - params.embed.astype(jnp.float32)).max() / \
+        jnp.abs(params.embed.astype(jnp.float32)).max()
+    assert float(err) < 0.02
+    qparams = params._replace(embed=qe,
+                              lm_head=quantize(params.lm_head.astype(jnp.float32)))
+    toks = (jnp.arange(6, dtype=jnp.int32) % 100)[None, :]
+    l1, _ = transformer.forward(cfg, params, toks, init_cache(cfg, 1, 8))
+    l2, _ = transformer.forward(cfg, qparams, toks, init_cache(cfg, 1, 8))
+    # quantization noise only
+    c1 = np.asarray(jnp.argmax(l1, -1))
+    c2 = np.asarray(jnp.argmax(l2, -1))
+    assert (c1 == c2).mean() > 0.5  # loose: same model up to int8 noise
+    assert not bool(jnp.isnan(l2).any())

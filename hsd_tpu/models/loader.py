@@ -114,10 +114,13 @@ def _dense(t: Dict[str, np.ndarray], name: str, dtype,
 
 
 def load_hf(path: str, cfg: Optional[ModelConfig] = None,
-            quantized: Optional[int] = None) -> tuple:
+            quantized: Optional[int] = None,
+            quantize_embed: bool = False) -> tuple:
     """Load an HF Qwen2/Llama checkpoint directory.
 
     quantized: None for dense; 8/4 for GPTQ checkpoints.
+    quantize_embed: also quantize the embedding table per-row int8
+      (requires an untied head; halves the table's HBM footprint).
     Returns (cfg, ModelParams) with layer weights stacked on axis 0.
     """
     cfg = cfg or config_from_hf(path)
@@ -172,6 +175,11 @@ def load_hf(path: str, cfg: Optional[ModelConfig] = None,
     lm_head = None
     if not cfg.tie_word_embeddings:
         lm_head = _dense(t, "lm_head.weight", dt)  # -> [D, V]
+    if quantize_embed:
+        if cfg.tie_word_embeddings:
+            raise ValueError("quantize_embed requires an untied lm_head")
+        from .transformer import quantize_embedding
+        embed = quantize_embedding(embed)
     final_norm = jnp.asarray(t["model.norm.weight"].astype(np.float32))
     return cfg, ModelParams(embed=embed, layers=layers,
                             final_norm=final_norm, lm_head=lm_head)

@@ -436,8 +436,17 @@ def build_trie(cfg: EagleConfig, p: EagleParams, target_features: jax.Array,
 
     paths = jax.vmap(walk)(leaf_idx_all)                  # [N+1, depth+2]
     path_len = position_ids + 1
-    # compact: keep leaf rows first (stable), pad others with -1
-    order = jnp.argsort(~is_leaf, stable=True)            # leaves first
+    # order rows lexicographically by path indices with -1 (and non-leaf
+    # rows) mapped large — the reference's custom_sort for the sampling
+    # verifiers (cnets.py:809-817); the prefix-sharing round order of
+    # trie-HSD depends on it. Lexsort = stable argsort from last column.
+    BIG = N + 5
+    keys_m = jnp.where(paths < 0, BIG, paths)
+    keys_m = jnp.where(is_leaf[:, None], keys_m, BIG)
+    order = jnp.arange(N + 1)
+    Lp = paths.shape[1]
+    for j in range(Lp - 1, -1, -1):
+        order = order[jnp.argsort(keys_m[order, j], stable=True)]
     retrieve = paths[order]
     retrieve = jnp.where((jnp.arange(N + 1) < jnp.sum(is_leaf))[:, None],
                          retrieve, -1)

@@ -92,7 +92,13 @@ def verify_hsd(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
     for b in range(K):
         if striped:
             row = jnp.clip(n * (K - 1) + b, 0, R - 1)
-            active = ~done
+            if frontier == "capped":
+                # exactness fix: gate branch rows on the accepted prefix
+                # still following the primary path (see verify_tokenwise;
+                # ungated = reference behavior, kept under hsd_ref)
+                active = (~done) & prefix_matches(draft_tokens, row, ind, n)
+            else:
+                active = ~done
         else:
             row = jnp.int32(b)
             active = (~done) & prefix_matches(draft_tokens, row, ind, n)

@@ -58,7 +58,13 @@ def verify_tokenwise(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
     for b in range(K):
         if striped:
             row = jnp.clip(n * (K - 1) + b, 0, R - 1)
-            active = ~done
+            # Exactness fix (same telescoping argument as the HSD capped
+            # frontier, docs/LOSSLESSNESS.md): a striped branch row is only
+            # conditioned correctly while the accepted prefix still follows
+            # the PRIMARY path — which is exactly the prefix-match gate. The
+            # reference omits it (utils.py:5679) and is measurably biased;
+            # hsd_ref keeps the ungated reference behavior.
+            active = (~done) & prefix_matches(draft_tokens, row, ind, n)
         else:
             row = jnp.int32(b)
             active = (~done) & prefix_matches(draft_tokens, row, ind, n)

@@ -92,15 +92,16 @@ def empirical_joint_first(joint):
     return np.asarray(joint).reshape(V, -1).sum(axis=1)
 
 
-@pytest.mark.parametrize("method,tol", [("tokenwise", 0.20), ("hsd", 0.20)])
+@pytest.mark.parametrize("method,tol", [("tokenwise", TOL), ("hsd", TOL),
+                                        ("hsd_ref", 0.20)])
 def test_striped_tree_multidraft(method, tol):
     """Striped-tree multidraft (parallel=False layout). The reference's
     striped indexing re-uses branch rows conditioned on the PRIMARY path even
-    after the accepted prefix has diverged from it (utils.py:5679 — there is
-    no prefix gate in this mode), so the mode is structurally approximate:
-    measured TV ~0.15 on the Markov harness (docs/LOSSLESSNESS.md). The band
-    pins reference-level behavior; `parallel=True` is the recommended (and
-    benchmarked) multidraft mode. Must still beat the draft distribution."""
+    after the accepted prefix has diverged (utils.py:5679 — no prefix gate),
+    measured TV ~0.15. Adding the prefix gate (a branch row is valid exactly
+    while the accepted prefix still follows the primary) makes the mode
+    EXACTLY lossless for tokenwise and capped-frontier hsd
+    (docs/LOSSLESSNESS.md); hsd_ref keeps ungated reference behavior."""
     emp, target, draft = _run(method, 3, striped=True)
     d_target = tv_distance(emp, target)
     assert d_target < tol, f"striped {method}: TV {d_target:.4f}"

@@ -61,6 +61,23 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs, n_in_blocks):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _pick_block_out(dout: int, block_in: int, vmem_cap: int) -> int:
+    """Largest legal out-block under the VMEM budget.
+
+    Legal = divides dout AND (multiple of 128 or the whole dout — Mosaic's
+    lane rule). Bigger blocks win decisively in the batch-1 decode regime:
+    each pallas_call grid step carries a fixed ~9us launch/pipeline floor on
+    v5e, so a 0.5B-scale matvec wants ONE out-block (measured 9.5us vs 59us
+    at 896x1152, docs/BENCHMARKS.md)."""
+    if block_in * dout <= vmem_cap:
+        return dout
+    best = 0
+    for d in range(128, dout // 128 * 128 + 1, 128):
+        if dout % d == 0 and block_in * d <= vmem_cap:
+            best = d
+    return best or 128
+
+
 def _pick_block_in(din: int, gs: int, target: int = 8192) -> int:
     """in-block size: whole din when it fits the VMEM budget (no group
     slicing needed), else the largest divisor whose group count is 8-aligned
@@ -77,14 +94,15 @@ def _pick_block_in(din: int, gs: int, target: int = 8192) -> int:
 
 @functools.partial(jax.jit, static_argnames=("block_out", "block_in",
                                              "interpret", "vmem_cap_mb"))
-def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 512,
+def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
                 block_in: int = 0, interpret: bool = False,
-                vmem_cap_mb: int = 4) -> jax.Array:
+                vmem_cap_mb: int = 8) -> jax.Array:
     """y = x @ dequant(qw). x: [..., in]; returns [..., out] in x.dtype.
 
     Rows are padded to the f32 sublane (8). in must divide by a multiple of
-    the group size (model dims are multiples of 128 in practice); out must
-    divide by block_out (shrunk automatically to a divisor).
+    the group size (model dims are multiples of 128 in practice); block_out=0
+    auto-picks the largest legal out-block under the VMEM budget (explicit
+    values are shrunk to a legal divisor).
     """
     din, dout = qw.qweight.shape
     groups = qw.scales.shape[0]
@@ -99,11 +117,15 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 512,
     if block_in == 0:
         block_in = _pick_block_in(din, gs)
     block_in = min(block_in, din)
-    while dout % block_out:
-        block_out //= 2
-    # VMEM budget: keep the double-buffered weight tile bounded
-    while block_in * block_out > vmem_cap_mb * 1024 * 1024 and block_out > 128:
-        block_out //= 2
+    if block_out == 0:
+        block_out = _pick_block_out(dout, block_in, vmem_cap_mb * 1024 * 1024)
+    else:
+        while dout % block_out or (block_out % 128 and block_out != dout):
+            block_out //= 2
+        # VMEM budget: keep the double-buffered weight tile bounded
+        while (block_in * block_out > vmem_cap_mb * 1024 * 1024
+               and block_out > 128):
+            block_out //= 2
     assert din % block_in == 0 and block_in % gs == 0, (din, block_in, gs)
     gpb = block_in // gs
     n_in_blocks = din // block_in

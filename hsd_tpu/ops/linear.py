@@ -122,16 +122,12 @@ def _use_pallas(x, w) -> bool:
         return False
     if GPTQ_PATH == "pallas":
         return pallas_supported(x, w)
-    # auto, measured on v5e: for small weights (0.5B-scale, ~4MB tiles) both
-    # paths are equivalent; for large weights the Pallas tile pipeline
-    # streams ~4x faster than XLA's grouped int8 matvec (299 vs 72 GB/s at
-    # 5120x13824), and it also wins once rows amortize at prefill scale.
-    rows = 1
-    for d in x.shape[:-1]:
-        rows *= d
-    din, dout = w.qweight.shape[-2:]
-    big_weight = din * dout >= 8 * 1024 * 1024
-    return on_tpu and (rows >= 256 or big_weight) and pallas_supported(x, w)
+    # auto, measured on v5e with forced-fetch timing (docs/BENCHMARKS.md):
+    # the fused kernel wins at EVERY supported shape once the out-block is
+    # sized to the VMEM budget — 5x at 896x1152 batch-1 (9.5 vs 59 us), 2.4x
+    # at 4864x896, parity at 896x9728, 4x at 14B shapes. Route all supported
+    # int8 shapes to Pallas on TPU.
+    return on_tpu and pallas_supported(x, w)
 
 
 def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:

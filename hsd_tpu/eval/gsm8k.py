@@ -50,6 +50,15 @@ def qwen_chat_wrap(user_text: str) -> str:
             "<|im_start|>assistant\n")
 
 
+def default_prompt_path() -> str:
+    """Packaged original few-shot CoT prompt library (the counterpart of the
+    reference's `lib_prompt/prompt_original.txt`, G5 in SURVEY.md §2.2 —
+    self-composed problems, same `Question:/Let's think step by step/The
+    answer is N` shape)."""
+    return os.path.join(os.path.dirname(__file__), "lib_prompt",
+                        "prompt_original.txt")
+
+
 def build_prompt(question: str, shots_text: str) -> str:
     """CoT prompt: few-shot examples then the question (ref :375-378)."""
     return qwen_chat_wrap(

@@ -34,7 +34,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True, help="GSM8K test.jsonl path")
     ap.add_argument("--prompt-file", default=None,
-                    help="few-shot CoT prompt text (ref lib_prompt/prompt_original.txt)")
+                    help="few-shot CoT prompt text; defaults to the packaged "
+                         "original 8-shot library (hsd_tpu/eval/lib_prompt/"
+                         "prompt_original.txt — the counterpart of the "
+                         "reference's lib_prompt/prompt_original.txt)")
     ap.add_argument("--draft-path", default=None)
     ap.add_argument("--target-path", default=None)
     ap.add_argument("--tokenizer-path", default=None)
@@ -97,7 +100,9 @@ def main():
     else:
         tok = ByteTokenizer()
 
-    shots = open(args.prompt_file).read() if args.prompt_file else ""
+    from hsd_tpu.eval.gsm8k import default_prompt_path
+    prompt_file = args.prompt_file or default_prompt_path()
+    shots = open(prompt_file).read()
     qs = load_gsm8k_jsonl(args.data, limit=args.limit or None,
                           stride=args.stride)
     if args.shard:

@@ -67,3 +67,17 @@ def test_gsm8k_end_to_end_smoke(tmp_path):
     assert (tmp_path / "out" / "answers_smoke.txt").exists()
     counts = json.loads((tmp_path / "out" / "counts_smoke.json").read_text())
     assert len(counts) == 2 and "accepts" in counts[0]
+
+
+def test_default_prompt_library():
+    """G5 parity: the packaged prompt library exists, each shot carries a
+    final 'The answer is N' line the metrics regex extracts."""
+    from hsd_tpu.eval.gsm8k import default_prompt_path
+    text = open(default_prompt_path()).read()
+    shots = [s for s in text.split("\n\n") if s.strip()]
+    assert len(shots) == 8
+    for s in shots:
+        assert s.startswith("Question: ")
+        assert "Let's think step by step" in s
+        ans = extract_answer(s.rsplit("The answer is", 1)[1])
+        assert ans is not None

@@ -98,8 +98,17 @@ def _gptq_linear(t: Dict[str, np.ndarray], prefix: str, bits: int,
     offset = 1 << (bits - 1)
     codes = qweight.astype(np.int16) - offset
     zeros = (qzeros.astype(np.float32) + 1.0) - offset
+    if bits == 4 and din % 2 == 0:
+        # keep 4-bit checkpoints nibble-packed (uint8 marker dtype): rows
+        # 2i/2i+1 per byte, nibbles stored unsigned (= raw GPTQ codes; the
+        # -8 shift rides in the kernel's zero correction) — halves the
+        # decode weight stream (ops/linear.py pack_int4 convention)
+        c = qweight.astype(np.int32)               # unsigned 0..15 codes
+        q = (((c[1::2] & 0xF) << 4) | (c[0::2] & 0xF)).astype(np.uint8)
+    else:
+        q = codes.astype(np.int8)
     return QuantizedLinear(
-        qweight=jnp.asarray(codes.astype(np.int8)),
+        qweight=jnp.asarray(q),
         scales=jnp.asarray(scales),
         zeros=jnp.asarray(zeros.astype(np.float32)),
     )

@@ -229,7 +229,7 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
         if "wgu" in lp:
             F = lp["wdown"].shape[-2] if not hasattr(lp["wdown"], "qweight") \
-                else lp["wdown"].qweight.shape[-2]
+                else lp["wdown"].din  # logical in-dim (packed int4 aware)
             gu = apply_linear(lp["wgu"], h)
             ff = jax.nn.silu(gu[..., :F]) * gu[..., F:]
         else:

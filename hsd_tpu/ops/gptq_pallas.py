@@ -28,6 +28,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .linear import QuantizedLinear
 
 
+def _scale_slice(s_ref, gpb, n_in_blocks):
+    if n_in_blocks == 1:
+        # single in-block: the full scales array belongs to this block
+        return s_ref[:].astype(jnp.float32)        # [gpb, out_blk]
+    # gpb is 8-aligned by construction (see _pick_block_in), so the
+    # slice start is provably sublane-aligned for Mosaic
+    g0 = pl.multiple_of(pl.program_id(1) * gpb, 8)
+    return s_ref[pl.ds(g0, gpb), :].astype(jnp.float32)
+
+
 def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs, n_in_blocks):
     """Grid (out_blocks, in_blocks); accumulate x_blk @ (codes * scale).
 
@@ -44,17 +54,53 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs, n_in_blocks):
     codes = w_ref[:].astype(jnp.float32)           # [in_blk, out_blk]
     in_blk, out_blk = codes.shape
     codes = codes.reshape(gpb, gs, out_blk)
-    if n_in_blocks == 1:
-        # single in-block: the full scales array belongs to this block
-        scale = s_ref[:].astype(jnp.float32)       # [gpb, out_blk]
-    else:
-        # gpb is 8-aligned by construction (see _pick_block_in), so the
-        # slice start is provably sublane-aligned for Mosaic
-        g0 = pl.multiple_of(i * gpb, 8)
-        scale = s_ref[pl.ds(g0, gpb), :].astype(jnp.float32)
+    scale = _scale_slice(s_ref, gpb, n_in_blocks)
     w = (codes * scale[:, None, :]).reshape(in_blk, out_blk)
     acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
                           preferred_element_type=jnp.float32)
+
+    @pl.when(i == n_in_blocks - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                 gpb, gs_p, n_in_blocks):
+    """Nibble-packed int4 variant. Grid (out_blocks, in_blocks) over PACKED
+    rows: byte i holds input rows 2i (low nibble) / 2i+1 (high nibble), which
+    share a quantization group, so one scale slice serves both nibble planes.
+
+    All operands arrive pre-arranged in 3D group-major form (x deinterleaved
+    and grouped [gpb, n, gs_p]; packed weights [gpb, gs_p, out]) so the
+    kernel body has NO reshapes/transposes (Mosaic relayouts): bit-ops to
+    split nibbles, two batched MXU dots on raw codes (exact in bf16), and the
+    per-group scale applied to the tiny partial outputs instead of the
+    streamed weight tile. Weight stream is HALF the int8 kernel's bytes."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xe = xe_ref[:]                                 # [gpb, n, gs_p]
+    # nibbles are stored UNSIGNED (ops/linear.pack_int4) with the -8 shift
+    # folded into the zero correction outside the kernel. The low nibble is
+    # never materialized: with b = lo + 16*hi,
+    #   sum lo*xe + sum hi*xo = sum b*xe + sum hi*(xo - 16*xe)
+    # and xm = xo - 16*xe is precomputed on the (tiny) activations, so the
+    # per-streamed-byte VPU work is cast / shift / 2 converts — every other
+    # op rides the MXU (raw-byte dot + hi dot) or the partial outputs.
+    xm = xm_ref[:]
+    b = w_ref[:].astype(jnp.int32)                 # [gpb, gs_p, out_blk]
+    braw = b.astype(xe.dtype)                      # lo + 16*hi
+    hi = (b >> 4).astype(xe.dtype)                 # rows 2i+1
+    scale = _scale_slice(s_ref, gpb, n_in_blocks)
+    dims = (((2,), (1,)), ((0,), (0,)))
+    part = (jax.lax.dot_general(xe, braw, dims,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(xm, hi, dims,
+                                  preferred_element_type=jnp.float32))
+    acc_ref[:] += jnp.sum(part * scale[:, None, :], axis=0)
 
     @pl.when(i == n_in_blocks - 1)
     def _():
@@ -104,9 +150,12 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
     auto-picks the largest legal out-block under the VMEM budget (explicit
     values are shrunk to a legal divisor).
     """
-    din, dout = qw.qweight.shape
+    packed = qw.qweight.dtype == jnp.uint8
+    rows, dout = qw.qweight.shape              # packed: rows = din/2
+    din = 2 * rows if packed else rows
     groups = qw.scales.shape[0]
-    gs = din // groups
+    gs = din // groups                         # original group size
+    gs_k = gs // 2 if packed else gs           # group size in WEIGHT rows
     lead = x.shape[:-1]
     x2 = x.reshape(-1, din)
     n = x2.shape[0]
@@ -115,8 +164,8 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
 
     if block_in == 0:
-        block_in = _pick_block_in(din, gs)
-    block_in = min(block_in, din)
+        block_in = _pick_block_in(rows, gs_k)
+    block_in = min(block_in, rows)
     if block_out == 0:
         block_out = _pick_block_out(dout, block_in, vmem_cap_mb * 1024 * 1024)
     else:
@@ -126,21 +175,51 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
         while (block_in * block_out > vmem_cap_mb * 1024 * 1024
                and block_out > 128):
             block_out //= 2
-    assert din % block_in == 0 and block_in % gs == 0, (din, block_in, gs)
-    gpb = block_in // gs
-    n_in_blocks = din // block_in
+    assert rows % block_in == 0 and block_in % gs_k == 0, (rows, block_in, gs_k)
+    gpb = block_in // gs_k
+    if packed:
+        # VMEM model for the int4 kernel: u8 weight tile gpb*gs_k*bo plus two
+        # f32 batched-dot partials gpb*npad*bo*4 — the partials dominate at
+        # prefill batch sizes, so bound bo by the full expression
+        cap = vmem_cap_mb * 1024 * 1024
+        denom = gpb * (gs_k + 8 * npad)
+        limit = max(128, cap // denom)
+        if block_out > limit:
+            best = 128
+            for d in range(128, dout // 128 * 128 + 1, 128):
+                if dout % d == 0 and d <= limit:
+                    best = d
+            block_out = best
+    n_in_blocks = rows // block_in
     grid = (dout // block_out, n_in_blocks)
 
-    in_specs = [
-        pl.BlockSpec((npad, block_in), lambda o, i: (0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_in, block_out), lambda o, i: (i, o),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((groups, block_out), lambda o, i: (0, o),
-                     memory_space=pltpu.VMEM),
-    ]
-    args = [x2, qw.qweight, qw.scales]
-    kern = functools.partial(_kernel, gpb=gpb, gs=gs, n_in_blocks=n_in_blocks)
+    w_spec = pl.BlockSpec((block_in, block_out), lambda o, i: (i, o),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((groups, block_out), lambda o, i: (0, o),
+                          memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((npad, block_in), lambda o, i: (0, i),
+                          memory_space=pltpu.VMEM)
+    if packed:
+        # deinterleave + group-major arrange x once (XLA-side, x is tiny):
+        # even columns pair with low nibbles; weights ride as [G, gs_p, out]
+        # so the kernel body needs no reshapes (Mosaic relayouts)
+        xe = x2[:, 0::2].reshape(npad, groups, gs_k).transpose(1, 0, 2)
+        xo = x2[:, 1::2].reshape(npad, groups, gs_k).transpose(1, 0, 2)
+        xm = (xo.astype(jnp.float32)
+              - 16.0 * xe.astype(jnp.float32)).astype(xe.dtype)
+        x3_spec = pl.BlockSpec((gpb, npad, gs_k), lambda o, i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        w3_spec = pl.BlockSpec((gpb, gs_k, block_out), lambda o, i: (i, 0, o),
+                               memory_space=pltpu.VMEM)
+        in_specs = [x3_spec, x3_spec, w3_spec, s_spec]
+        args = [xe, xm, qw.qweight.reshape(groups, gs_k, dout), qw.scales]
+        kern = functools.partial(_kernel_int4, gpb=gpb, gs_p=gs_k,
+                                 n_in_blocks=n_in_blocks)
+    else:
+        in_specs = [x_spec, w_spec, s_spec]
+        args = [x2, qw.qweight, qw.scales]
+        kern = functools.partial(_kernel, gpb=gpb, gs=gs,
+                                 n_in_blocks=n_in_blocks)
 
     out = pl.pallas_call(
         kern,
@@ -151,18 +230,28 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
         out_shape=jax.ShapeDtypeStruct((npad, dout), x.dtype),
         scratch_shapes=[pltpu.VMEM((npad, block_out), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            # the int4 kernel's nibble temps + dot partials exceed the 16MB
+            # default scoped budget at useful block sizes; v5e has 128MiB
+            # physical VMEM
+            vmem_limit_bytes=64 * 1024 * 1024 if packed else None),
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * din * dout,
-            bytes_accessed=din * dout + npad * din * 4 + npad * dout * 4,
+            bytes_accessed=rows * dout + npad * din * 4 + npad * dout * 4,
             transcendentals=0),
         interpret=interpret,
     )(*args)
 
-    if qw.zeros is not None:
+    if qw.zeros is not None or packed:
         # rank-1 zero-point correction outside the kernel:
         # y[n,o] -= sum_g (sum_{i in g} x[n,i]) * zero[g,o]*scale[g,o]
-        zs = (qw.zeros.astype(jnp.float32) * qw.scales.astype(jnp.float32))
+        # packed int4 stores unsigned nibbles (code+8), so the uniform -8
+        # shift rides in this correction even for symmetric weights
+        z = (qw.zeros.astype(jnp.float32) if qw.zeros is not None
+             else jnp.float32(0.0))
+        if packed:
+            z = z + 8.0
+        zs = z * qw.scales.astype(jnp.float32)
         xg = jnp.sum(x2.astype(jnp.float32).reshape(npad, groups, gs), axis=2)
         out = out - (xg @ zs).astype(out.dtype)
     return out[:n].reshape(*lead, dout)
@@ -170,11 +259,19 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
 
 def pallas_supported(x: jax.Array, qw: QuantizedLinear) -> bool:
     """Static check whether the Pallas path handles these shapes."""
-    din, dout = qw.qweight.shape
+    rows, dout = qw.qweight.shape
     groups = qw.scales.shape[0]
-    gs = din // groups
+    if qw.qweight.dtype == jnp.uint8:      # nibble-packed int4
+        din = 2 * rows
+        gs = din // groups
+        # gs/2 packed rows per group must be a 32-multiple (uint8 sublane)
+        if din % gs or gs % 64 or dout % 128:
+            return False
+        return True
     if qw.qweight.dtype != jnp.int8:
         return False
+    din = rows
+    gs = din // groups
     if din % gs or gs % 128 or dout % 128:
         return False
     return True

@@ -22,7 +22,11 @@ import jax.numpy as jnp
 class QuantizedLinear(NamedTuple):
     """GPTQ-style weight-only quantization of a [in, out] matmul.
 
-    qweight: [in, out] int8 codes (int4 uses jnp.int4 when packed)
+    qweight: [in, out] int8 codes, OR [in/2, out] uint8 nibble-packed int4
+             (the uint8 container dtype IS the 4-bit marker: byte i packs the
+             signed codes of input rows 2i (low nibble) and 2i+1 (high
+             nibble) — adjacent rows share a quantization group, so both
+             nibbles of a byte use the same scale/zero)
     scales:  [groups, out]; group g covers input rows [g*gs, (g+1)*gs)
     zeros:   [groups, out] float zero-points (asymmetric) or None (symmetric)
 
@@ -33,6 +37,40 @@ class QuantizedLinear(NamedTuple):
     qweight: jax.Array
     scales: jax.Array
     zeros: Optional[jax.Array]
+
+    @property
+    def packed_int4(self) -> bool:
+        return self.qweight.dtype == jnp.uint8
+
+    @property
+    def din(self) -> int:
+        n = self.qweight.shape[-2]
+        return 2 * n if self.packed_int4 else n
+
+
+def pack_int4(codes: jax.Array) -> jax.Array:
+    """Pack signed int4 codes [in, out] (values in [-8, 7]) into uint8
+    [in/2, out]: low nibble = row 2i, high nibble = row 2i+1.
+
+    Nibbles are stored UNSIGNED (code+8, range 0..15) so the hot kernel
+    decodes with two bit-ops and no sign fixups; the uniform -8 shift is
+    folded into the zero-point (pack_int4_zero_shift), which the rank-1
+    correction applies outside the kernel."""
+    din = codes.shape[0]
+    assert din % 2 == 0, din
+    lo = (codes[0::2].astype(jnp.int32) + 8) & 0xF
+    hi = (codes[1::2].astype(jnp.int32) + 8) & 0xF
+    return ((hi << 4) | lo).astype(jnp.uint8)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of pack_int4: uint8 [in/2, out] -> signed int8 codes [in, out]."""
+    b = packed.astype(jnp.int32)
+    lo = (b & 0xF) - 8
+    hi = (b >> 4) - 8
+    dp, dout = packed.shape
+    out = jnp.stack([lo, hi], axis=1)  # [dp, 2, out]
+    return out.reshape(2 * dp, dout).astype(jnp.int8)
 
 
 def quantize(w: jax.Array, bits: int = 8, group_size: int = 128,
@@ -58,18 +96,22 @@ def quantize(w: jax.Array, bits: int = 8, group_size: int = 128,
         codes = jnp.clip(jnp.round(wf / scale[:, None, :] - zero[:, None, :]),
                          -qmax - 1, qmax)
         zeros = (-zero).astype(jnp.float32)
-    # int4 codes are stored in int8 containers: the axon PJRT backend cannot
-    # device_put native jnp.int4 arrays (RecursionError in layout handling),
-    # and the Pallas kernel consumes int8 tiles anyway. Packed-nibble int4
-    # storage is a planned kernel-side optimization.
-    dtype = jnp.int8
-    return QuantizedLinear(qweight=codes.reshape(din, dout).astype(dtype),
+    codes = codes.reshape(din, dout).astype(jnp.int8)
+    if bits == 4 and din % 2 == 0:
+        # nibble-packed storage (uint8 container = the 4-bit marker): halves
+        # the weight stream in the memory-bound decode regime. Native
+        # jnp.int4 is avoided: the axon PJRT backend cannot device_put it
+        # (RecursionError in layout handling).
+        codes = pack_int4(codes)
+    return QuantizedLinear(qweight=codes,
                            scales=scale.astype(jnp.float32),
                            zeros=None if symmetric else zeros)
 
 
 def dequantize(qw: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
     """Reference dequantization: w[i, o] = (code - zero[g(i), o]) * scale."""
+    if qw.packed_int4:
+        qw = qw._replace(qweight=unpack_int4(qw.qweight))
     din, dout = qw.qweight.shape
     g = qw.scales.shape[0]
     gs = din // g
@@ -86,6 +128,8 @@ def _gptq_matmul_xla(x: jax.Array, qw: QuantizedLinear) -> jax.Array:
     so the big matmul runs on int8-converted codes and the per-group affine
     correction is a rank-1 term — no [in, out] float weight materialization.
     """
+    if qw.packed_int4:
+        qw = qw._replace(qweight=unpack_int4(qw.qweight))
     din, dout = qw.qweight.shape
     g = qw.scales.shape[0]
     gs = din // g

@@ -64,3 +64,55 @@ def test_apply_linear_dispatches_quantized():
     want = x @ dequantize(qw, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+# ---- packed int4 (uint8 nibble container, ops/linear.pack_int4) ----
+
+from hsd_tpu.ops.linear import pack_int4, unpack_int4
+
+
+def test_pack_unpack_int4_roundtrip():
+    key = jax.random.PRNGKey(5)
+    codes = jax.random.randint(key, (256, 128), -8, 8, jnp.int32).astype(jnp.int8)
+    packed = pack_int4(codes)
+    assert packed.dtype == jnp.uint8 and packed.shape == (128, 128)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)),
+                                  np.asarray(codes))
+
+
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_int4_packed_xla_matmul(symmetric):
+    w, qw, x = _mk(jax.random.PRNGKey(6), bits=4, symmetric=symmetric)
+    assert qw.packed_int4 and qw.din == 256
+    want = x @ dequantize(qw, jnp.float32)
+    got = _gptq_matmul_xla(x, qw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_int4_pallas_kernel_interpret(symmetric):
+    w, qw, x = _mk(jax.random.PRNGKey(7), din=512, dout=512, bits=4,
+                   symmetric=symmetric)
+    assert pallas_supported(x, qw)
+    want = x @ dequantize(qw, jnp.float32)
+    got = gptq_matmul(x, qw, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_int4_pallas_multiblock_interpret():
+    """Group-sliced scales path: several in-blocks over packed rows."""
+    w, qw, x = _mk(jax.random.PRNGKey(8), din=4096, dout=256, bits=4)
+    want = x @ dequantize(qw, jnp.float32)
+    got = gptq_matmul(x, qw, block_out=128, block_in=1024, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_int4_apply_linear_dispatch():
+    w, qw, x = _mk(jax.random.PRNGKey(9), bits=4)
+    got = apply_linear(qw, x)
+    want = x @ dequantize(qw, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

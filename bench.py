@@ -36,7 +36,7 @@ from hsd_tpu.ops.linear import QuantizedLinear
 
 GAMMA = int(os.environ.get("BENCH_GAMMA", 10))
 MAX_NEW = int(os.environ.get("BENCH_MAX_NEW", 256))
-N_PROMPTS = int(os.environ.get("BENCH_PROMPTS", 2))
+N_PROMPTS = int(os.environ.get("BENCH_PROMPTS", 6))  # more = stabler BE
 N_DRAFTS = int(os.environ.get("BENCH_DRAFTS", 1))  # 11 = reference config 3
 # LOGIT_SCALE sharpens the synthetic-weight logits; with a pure int8-GPTQ
 # draft (sigma=0) it is the knob that sets the acceptance regime

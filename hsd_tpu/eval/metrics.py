@@ -12,7 +12,7 @@ Formula parity with the reference aggregators:
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -77,3 +77,33 @@ def summarize(counts: List[Dict], gamma: int) -> Dict[str, float]:
         "mean_accept": float(np.mean([a for q in accepts for a in q])) if any(accepts) else 0.0,
         "questions": len(counts),
     }
+
+
+def plot_summary(summaries: Dict[str, Dict[str, float]], out_path: str,
+                 title: str = "Speculative decoding") -> Optional[str]:
+    """Bar chart of BE / DS per method — the reference aggregator's output
+    shape (compute_speculative_stats.py bar chart, SURVEY.md §2.2 G3).
+
+    summaries: {method_name: summarize(...) dict}. Returns the written path,
+    or None when matplotlib is unavailable (headless parity is the JSONL).
+    """
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    methods = list(summaries)
+    fig, axes = plt.subplots(1, 2, figsize=(9, 3.5))
+    for ax, key, label in ((axes[0], "block_efficiency", "Block efficiency (tok/step)"),
+                           (axes[1], "decoding_speed", "Decoding speed (tok/s)")):
+        vals = [summaries[m].get(key, 0.0) for m in methods]
+        ax.bar(methods, vals, color="#888888")
+        ax.set_title(label)
+        for i, v in enumerate(vals):
+            ax.text(i, v, f"{v:.2f}", ha="center", va="bottom", fontsize=9)
+    fig.suptitle(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

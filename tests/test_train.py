@@ -99,3 +99,39 @@ def test_eagle1_loss_decreases():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_train_loop_resume_and_logging(tmp_path):
+    """Loop driver: runs epochs, writes JSONL metrics, checkpoints, and a
+    second invocation auto-resumes without redoing consumed steps."""
+    import json
+    from hsd_tpu.train.loop import train_loop
+    from hsd_tpu.utils.logging import MetricLogger
+
+    pt, state, step, ids, lm = _setup()
+
+    def data(epoch):
+        return [(ids, lm)] * 3
+
+    logger = MetricLogger(path=str(tmp_path / "metrics.jsonl"))
+    out = train_loop(state, step, pt, data, num_epochs=2,
+                     ckpt_dir=str(tmp_path / "ckpt"), logger=logger,
+                     log_every=2)
+    logger.close()
+    assert int(out.step) == 6
+    assert latest_checkpoint_step(str(tmp_path / "ckpt")) == 6
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert rows and all("loss" in r for r in rows)
+
+    # resume: 2 more epochs on top -> replay-skips the first 6 batches
+    out2 = train_loop(init_train_state(out.params, TC), step, pt, data,
+                      num_epochs=4, ckpt_dir=str(tmp_path / "ckpt"))
+    assert int(out2.step) == 12
+
+
+def test_plot_summary(tmp_path):
+    from hsd_tpu.eval.metrics import plot_summary
+    s = {"tokenwise": {"block_efficiency": 5.9, "decoding_speed": 82.0},
+         "hsd": {"block_efficiency": 6.3, "decoding_speed": 91.0}}
+    p = plot_summary(s, str(tmp_path / "be.png"))
+    assert p is None or (tmp_path / "be.png").exists()

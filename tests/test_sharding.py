@@ -99,3 +99,17 @@ def test_sharded_kv_rollback_is_local(mesh):
         txt = fn.lower(sc).compile().as_text()
     for coll in ("all-reduce", "all-gather", "collective-permute", "all-to-all"):
         assert coll not in txt, f"rollback emits {coll}"
+
+
+def test_multihost_helpers_single_process():
+    """Single-process semantics of the multi-host bring-up helpers."""
+    import jax
+    from hsd_tpu.parallel import (initialize_multihost, make_global_mesh,
+                                  shard_for_process)
+    assert initialize_multihost() == jax.process_index()
+    mesh = make_global_mesh(model=min(4, len(jax.devices())))
+    assert mesh.devices.size == len(jax.devices())
+    # contiguous, covering, disjoint fan-out
+    items = list(range(11))
+    parts = [shard_for_process(items, i, 3) for i in range(3)]
+    assert sum(parts, []) == items

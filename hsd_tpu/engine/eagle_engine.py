@@ -94,7 +94,7 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
         feat_layers = default_feature_layers(cfg_t)
         Dt3 = 3 * cfg_t.hidden_size
 
-    assert mode in ("greedy", "typical", "hsd"), mode
+    assert mode in ("greedy", "typical", "hsd", "hsd_ref"), mode
 
     def generate(params_t, params_e: EagleParams, prompt: jax.Array,
                  prompt_len: jax.Array, key: jax.Array) -> EagleGenerateResult:
@@ -186,6 +186,12 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
                 best, acc_len, sample_p = verify_trie_greedy(cand, p_paths)
             elif mode == "typical":
                 best, acc_len, sample_p = verify_trie_typical(k1, cand, p_paths)
+            elif mode == "hsd_ref":
+                # committed-reference frontier (raw window product, EAGLE
+                # utils.py:585) — accepts more, measurably biased
+                # (docs/LOSSLESSNESS.md)
+                best, acc_len, sample_p = verify_trie_hsd(
+                    k1, cand, p_paths, frontier="raw")
             else:
                 best, acc_len, sample_p = verify_trie_hsd(k1, cand, p_paths)
 

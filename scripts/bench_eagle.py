@@ -14,11 +14,17 @@ access, as a three-phase on-device pipeline:
   2. HEAD DISTILLATION: an EAGLE-3 head is trained against the frozen target
      with the multi-step soft-CE objective (train/eagle3.py), fresh data per
      step (no memorization).
-  3. MEASUREMENT: `eagenerate` with mode='typical' (EAGLE default verifier)
-     vs mode='hsd' (trie-HSD) on the same keys.
+  3. MEASUREMENT: `eagenerate` over all verifier modes on the same keys —
+     typical (EAGLE default), hsd (exact capped frontier), hsd_ref
+     (the committed reference's raw frontier), greedy.
 
 Prints one JSON line: metric = trie-HSD block efficiency; vs_baseline =
-(BE_hsd / BE_typical) / 1.121, the reference's uplift ratio.
+(BE_hsd / BE_typical) / 1.121, the reference's uplift ratio. NOTE on the
+ordering: on low-entropy synthetic regimes typical legitimately accepts more
+than HSD — the REFERENCE'S OWN implementation shows the same ordering on
+identical inputs (pinned in tests/test_ref_differential.py); the published
++12.1% uplift is a property of the real-LM regime (deep tries, partial
+per-node probability mass).
 
 Env knobs: EBENCH_TARGET_STEPS, EBENCH_HEAD_STEPS, EBENCH_MAX_NEW,
 EBENCH_PROMPTS, EBENCH_BRANCH (Markov branching factor).
@@ -135,7 +141,7 @@ def main():
     eng = EngineConfig(max_new_tokens=MAX_NEW, temperature=1.0)
     prompts = sample_corpus(jax.random.PRNGKey(9), succ, bprobs,
                             N_PROMPTS, 16)
-    for mode in ("hsd", "typical"):
+    for mode in ("hsd", "hsd_ref", "typical", "greedy"):
         gen = make_eagle_generate(cfg, ecfg, eng, mode=mode)
         accepts, toks_n, secs = [], 0, 0.0
         for i in range(N_PROMPTS):
@@ -160,11 +166,12 @@ def main():
         "unit": "tokens/step",
         "vs_baseline": round((be_hsd / max(be_typ, 1e-9)) / 1.121, 3),
         "context": {
-            "typical_be": round(be_typ, 3),
-            "hsd_tok_s": round(tps_hsd, 1),
-            "typical_tok_s": round(tps_typ, 1),
-            "uplift": round(be_hsd / max(be_typ, 1e-9), 3),
+            "modes": {m: {"be": round(be, 3), "tok_s": round(tps, 1)}
+                      for m, (be, tps) in results.items()},
+            "uplift_hsd_vs_typical": round(be_hsd / max(be_typ, 1e-9), 3),
             "reference_uplift": 1.121,
+            "regime_note": "reference's own impl shows typical>hsd on this "
+                           "regime (tests/test_ref_differential.py)",
             "target_train": f"{TARGET_STEPS} steps, CE {float(tloss):.3f}, "
                             f"{target_s:.0f}s",
             "head_distill": f"{HEAD_STEPS} steps, acc0 "

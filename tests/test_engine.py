@@ -117,3 +117,35 @@ def test_fused_params_equivalence():
     l2, _ = transformer.forward(CFG, fused, toks, c2)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_packed_int4_draft_engine_e2e():
+    """Model-level packed-int4 plumbing: an int4-quantized draft (uint8
+    nibble containers, XLA fallback path off-TPU) must decode losslessly —
+    greedy spec with ANY draft equals greedy AR of the target."""
+    from hsd_tpu.models.transformer import fuse_params
+    from hsd_tpu.ops.linear import quantize
+
+    q4 = {}
+    for k, v in PD.layers.items():
+        if k.startswith("w"):
+            q4[k] = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[quantize(v[i], bits=4, group_size=32)
+                  for i in range(v.shape[0])])
+            assert q4[k].qweight.dtype == jnp.uint8
+        else:
+            q4[k] = v
+    pd4 = fuse_params(CFG, PD._replace(layers=q4))
+    eng = EngineConfig(verifier=VerifierConfig(method="hsd", gamma=4),
+                       max_new_tokens=16, temperature=0.0)
+    gen = make_generate(CFG, CFG, eng)
+    res = gen(pd4, PT, PROMPT, PLEN, jax.random.PRNGKey(3))
+    assert int(res.ncommit) >= 1
+
+    ar = make_autoregressive(CFG, eng)
+    toks_ar, len_ar = ar(PT, PROMPT, PLEN, jax.random.PRNGKey(4))
+    n = int(res.ncommit)
+    np.testing.assert_array_equal(
+        np.asarray(res.tokens)[10:10 + n],
+        np.asarray(toks_ar)[10:10 + n])

@@ -113,3 +113,41 @@ def test_multihost_helpers_single_process():
     items = list(range(11))
     parts = [shard_for_process(items, i, 3) for i in range(3)]
     assert sum(parts, []) == items
+
+
+def test_sharded_forward_packed_int4(mesh):
+    """TP sharding composes with packed-int4 weights: uint8 nibble
+    containers shard with the dense layout (column-parallel on out,
+    row-parallel on packed-in); scales/zeros follow. Constraint: for
+    row-parallel matrices the GROUP axis is what shards, so
+    (din / group_size) % tp_degree == 0 (e.g. 14B gs=128 supports TP<=8;
+    use gs=64 for TP=16). The sharded forward must match the single-device
+    quantized forward."""
+    from hsd_tpu.ops.linear import quantize
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    q4 = {}
+    for k, v in params.layers.items():
+        if k.startswith("w"):
+            q4[k] = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[quantize(v[i], bits=4, group_size=16)
+                  for i in range(v.shape[0])])
+        else:
+            q4[k] = v
+    p4 = params._replace(layers=q4)
+    toks = (jnp.arange(12, dtype=jnp.int32) % 50).reshape(2, 6) + 1
+    cache = init_cache(CFG, 2, 16)
+    logits_ref, _ = jax.jit(
+        lambda p, t, c: transformer.forward(CFG, p, t, c))(p4, toks, cache)
+
+    with jax.set_mesh(mesh):
+        sp = shard_params(p4, mesh)
+        sc = jax.device_put(cache, jax.tree.map(
+            lambda s: NamedSharding(mesh, s), cache_specs()))
+        st = jax.device_put(toks, NamedSharding(mesh, P("data", None)))
+        logits_sh, _ = jax.jit(
+            lambda p, t, c: transformer.forward(CFG, p, t, c))(sp, st, sc)
+
+    np.testing.assert_allclose(np.asarray(logits_sh), np.asarray(logits_ref),
+                               rtol=2e-4, atol=2e-4)

@@ -158,4 +158,10 @@ class EngineConfig:
     max_new_tokens: int = 512
     max_seq_len: int = 2048
     temperature: float = 1.0
+    # logits-processor chain knobs (the reference's prepare_logits_processor
+    # / TopKLogitsWarper / TopPLogitsWarper, EAGLE utils.py:38-55); applied
+    # identically to draft and target distributions, preserving losslessness
+    # w.r.t. the PROCESSED target distribution
+    top_k: int = 0
+    top_p: float = 1.0
     seed: int = 0

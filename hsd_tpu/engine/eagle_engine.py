@@ -24,7 +24,7 @@ from ..config import EngineConfig, ModelConfig
 from ..models import transformer
 from ..models.eagle import (EagleConfig, EagleParams, Trie, build_trie,
                             init_eagle_kv)
-from ..ops.sampling import process_logits, sample
+from ..ops.sampling import process_logits, processor, sample
 from ..verify.trie import (verify_trie_greedy, verify_trie_hsd,
                            verify_trie_typical)
 from .kvcache import compact_path, init_cache
@@ -84,7 +84,7 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
     depth = ecfg.depth
     Lpath = depth + 2
     T_abs = Lpath  # head absorb window per block
-    temp = engine.temperature
+    temp = processor(engine.temperature, engine.top_k, engine.top_p)
     max_new = engine.max_new_tokens
     eos = cfg_t.eos_token_id
     if ecfg.version == 1:
@@ -113,7 +113,7 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
         feat_buf = jnp.zeros((S, Dt3), ecfg.dtype).at[:P].set(
             feats[0].astype(ecfg.dtype))
         key, k0 = jax.random.split(key)
-        p0 = process_logits(logits[0, -1], temp)
+        p0 = temp(logits[0, -1])
         root = sample(k0, p0).astype(jnp.int32)
 
         tokens = jnp.zeros((S,), jnp.int32).at[:P].set(prompt).at[P].set(root)
@@ -174,7 +174,7 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
             tlogits, tcache, tfeats = transformer.forward(
                 cfg_t, params_t, trie.draft_tokens[None], tcache,
                 attn_bias=bias, positions=pos, feature_layers=feat_layers)
-            probs = process_logits(tlogits[0], temp)          # [N+1, V]
+            probs = temp(tlogits[0])          # [N+1, V]
 
             # 3) per-path probability rows + verification
             ri = trie.retrieve_indices                        # [N+1, Lpath]

@@ -65,11 +65,11 @@ def make_prompt_lookup_generate(cfg_target, engine, max_ngram: int = 3):
 
     from ..config import EngineConfig, ModelConfig
     from ..models import transformer
-    from ..ops.sampling import process_logits, sample
+    from ..ops.sampling import process_logits, processor, sample
     from .kvcache import init_cache, rollback
 
     gamma = engine.verifier.gamma
-    temp = engine.temperature
+    temp = processor(engine.temperature, engine.top_k, engine.top_p)
     max_new = engine.max_new_tokens
     eos = cfg_target.eos_token_id
 
@@ -97,7 +97,7 @@ def make_prompt_lookup_generate(cfg_target, engine, max_ngram: int = 3):
             tgt_in = jnp.concatenate([last[None], draft])[None]  # [1, gamma+1]
             tlogits, cache = transformer.forward(cfg_target, params_t,
                                                  tgt_in, cache)
-            probs = process_logits(tlogits[0], temp)             # [gamma+1, V]
+            probs = temp(tlogits[0])             # [gamma+1, V]
             # accept: u <= p(x) (q == 1), only over the n_found proposed
             u = jax.random.uniform(jax.random.fold_in(kv, 0), (gamma,))
             px = jnp.take_along_axis(probs[:gamma], draft[:, None], 1)[:, 0]

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import EngineConfig, ModelConfig
 from ..models import transformer
-from ..ops.sampling import process_logits
+from ..ops.sampling import process_logits, processor
 from ..verify import verify
 from .kvcache import KVCache, init_cache, rollback, select_draft_row
 from .speculative import _draft_block
@@ -74,7 +74,8 @@ class SlotEngine:
     def _build(self):
         cfg_d, cfg_t = self.cfg_d, self.cfg_t
         gamma, K, S = self.gamma, self.K, self.S
-        temp = self.engine.temperature
+        temp = processor(self.engine.temperature, self.engine.top_k,
+                         self.engine.top_p)
         method = self.method
         eos = cfg_t.eos_token_id
         max_new = self.engine.max_new_tokens
@@ -92,7 +93,7 @@ class SlotEngine:
                  draft_toks], 1)
             tlogits, tcache2 = transformer.forward(cfg_t, self.params_t,
                                                    tgt_in, tcache)
-            p = process_logits(tlogits, temp)
+            p = temp(tlogits)
             res = verify(method, kv, draft_toks, q, p, num_drafts=K)
             n_commit = res.n_matches + 1
             posn = jnp.arange(S)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..config import EngineConfig, ModelConfig
 from ..models import transformer
-from ..ops.sampling import process_logits, sample
+from ..ops.sampling import process_logits, processor, sample
 from ..verify import verify
 from .kvcache import KVCache, init_cache, rollback, select_draft_row
 
@@ -60,21 +60,25 @@ def _draft_block(cfg: ModelConfig, params, cache: KVCache, last2, last1,
     handles this by re-running the draft on the whole uncached suffix inside
     `get_candidates`.)
 
+    `temperature` may be a float or a prepared processor closure
+    (ops.sampling.processor) carrying top_k/top_p.
+
     Returns (draft_tokens [K, gamma], q [K, gamma, V], cache advanced).
     """
+    proc = temperature if callable(temperature) else processor(temperature)
     K = cache.batch
     keys = jax.random.split(key, gamma)
 
     tok01 = jnp.stack([jnp.broadcast_to(last2, (K,)),
                        jnp.broadcast_to(last1, (K,))], axis=1).astype(jnp.int32)
     logits0, cache = transformer.forward(cfg, params, tok01, cache)
-    probs0 = process_logits(logits0[:, 1], temperature)          # [K, V]
+    probs0 = proc(logits0[:, 1])                                 # [K, V]
     x0 = sample(keys[0], probs0).astype(jnp.int32)               # [K]
 
     def step(carry, k):
         cache, tok = carry
         logits, cache = transformer.forward(cfg, params, tok[:, None], cache)
-        probs = process_logits(logits[:, 0], temperature)        # [K, V]
+        probs = proc(logits[:, 0])                               # [K, V]
         nxt = sample(k, probs).astype(jnp.int32)                 # [K]
         return (cache, nxt), (nxt, probs)
 
@@ -93,6 +97,7 @@ def _draft_block_striped(cfg: ModelConfig, params, cache: KVCache, last2,
     then continues its own path. Mirroring = overriding not-yet-activated
     rows' samples with the primary's, which keeps their KV bitwise identical
     to row 0's without any copying."""
+    proc = temperature if callable(temperature) else processor(temperature)
     R = cache.batch
     K = num_drafts
     # activation step of each row: row 0 -> 0 (always its own), row
@@ -105,7 +110,7 @@ def _draft_block_striped(cfg: ModelConfig, params, cache: KVCache, last2,
     tok01 = jnp.stack([jnp.broadcast_to(last2, (R,)),
                        jnp.broadcast_to(last1, (R,))], axis=1).astype(jnp.int32)
     logits0, cache = transformer.forward(cfg, params, tok01, cache)
-    probs0 = process_logits(logits0[:, 1], temperature)          # [R, V]
+    probs0 = proc(logits0[:, 1])                                 # [R, V]
     s0 = jax.vmap(lambda k, pr: sample(k, pr))(
         jax.random.split(keys[0], R), probs0).astype(jnp.int32)
     x0 = jnp.where(act > 0, s0[0], s0)
@@ -114,7 +119,7 @@ def _draft_block_striped(cfg: ModelConfig, params, cache: KVCache, last2,
         cache, tok = carry
         j, k = inp
         logits, cache = transformer.forward(cfg, params, tok[:, None], cache)
-        probs = process_logits(logits[:, 0], temperature)        # [R, V]
+        probs = proc(logits[:, 0])                               # [R, V]
         s = jax.vmap(lambda kk, pr: sample(kk, pr))(
             jax.random.split(k, R), probs).astype(jnp.int32)
         nxt = jnp.where(act > j, s[0], s)
@@ -143,7 +148,7 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
     striped = (not v.parallel) and K > 1
     R = 1 + gamma * (K - 1) if striped else K   # draft batch rows
     method = v.method
-    temp = engine.temperature
+    temp = processor(engine.temperature, engine.top_k, engine.top_p)
     max_new = engine.max_new_tokens
     max_blocks = max_new  # each block commits >= 1 token
     eos = cfg_target.eos_token_id
@@ -200,7 +205,7 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
                 axis=1)                                        # [R, gamma+1]
             tlogits, tcache = transformer.forward(
                 cfg_target, params_target, tgt_in, tcache)
-            p = process_logits(tlogits, temp)                  # [R, gamma+1, V]
+            p = temp(tlogits)                                  # [R, gamma+1, V]
 
             if collect_telemetry and method in ("tokenwise", "hsd", "hsd_ref"):
                 res, tm = verify(method, kv, draft_toks, q, p, num_drafts=K,
@@ -274,7 +279,7 @@ def make_generate_batched(cfg_draft: ModelConfig, cfg_target: ModelConfig,
 def make_autoregressive(cfg: ModelConfig, engine: EngineConfig):
     """Plain AR sampling baseline (the reference's `_sample` /
     `naivegenerate`, ea_model.py:368-462) — the decoding-speed denominator."""
-    temp = engine.temperature
+    temp = processor(engine.temperature, engine.top_k, engine.top_p)
     max_new = engine.max_new_tokens
     eos = cfg.eos_token_id
 
@@ -296,7 +301,7 @@ def make_autoregressive(cfg: ModelConfig, engine: EngineConfig):
             key, ks = jax.random.split(key)
             logits, cache = transformer.forward(
                 cfg, params, tokens[length - 1][None, None], cache)
-            probs = process_logits(logits[0, 0], temp)
+            probs = temp(logits[0, 0])
             nxt = sample(ks, probs).astype(jnp.int32)
             tokens = tokens.at[length].set(nxt)
             return (tokens, length + 1, done | (nxt == eos), cache, key)

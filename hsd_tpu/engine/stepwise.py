@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..config import EngineConfig, ModelConfig
 from ..models import transformer
-from ..ops.sampling import process_logits, sample
+from ..ops.sampling import process_logits, processor, sample
 from ..verify import verify
 from ..verify.forward_sampling import forward_sampling_step
 from .kvcache import init_cache, rollback
@@ -37,7 +37,7 @@ def make_stepwise_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
                            engine: EngineConfig):
     """Jitted stepwise-HSD generate (K=1). Same signature as make_generate."""
     gamma = engine.verifier.gamma
-    temp = engine.temperature
+    temp = processor(engine.temperature, engine.top_k, engine.top_p)
     max_new = engine.max_new_tokens
     eos = cfg_target.eos_token_id
     max_blocks = max_new
@@ -81,7 +81,7 @@ def make_stepwise_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
             tlog, tcache2 = transformer.forward(
                 cfg_target, params_target, tokens[length - 1][None, None],
                 tcache_r)
-            prow = process_logits(tlog[0, 0], temp)
+            prow = temp(tlog[0, 0])
 
             cand2 = cand.at[cand_len].set(x_new)
             qbuf2 = qbuf.at[cand_len].set(qrow[0, 0])
@@ -126,7 +126,7 @@ def make_stepwise_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
                 [tokens[length - 1][None, None], draft_toks], axis=1)
             tlogits, tcache = transformer.forward(cfg_target, params_target,
                                                   tgt_in, tcache)
-            p = process_logits(tlogits, temp)
+            p = temp(tlogits)
             res = verify("hsd_ref", kv, draft_toks, q, p)
             n_commit = res.n_matches + 1
             posn = jnp.arange(S)

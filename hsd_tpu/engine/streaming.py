@@ -17,7 +17,7 @@ import numpy as np
 
 from ..config import EngineConfig, ModelConfig
 from ..models import transformer
-from ..ops.sampling import process_logits
+from ..ops.sampling import process_logits, processor
 from ..verify import verify
 from .kvcache import init_cache, rollback, select_draft_row
 from .speculative import _draft_block
@@ -30,7 +30,7 @@ def make_stream_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
     arrays of newly committed tokens, block by block, until EOS/budget."""
     v = engine.verifier
     gamma, K = v.gamma, v.num_drafts
-    temp = engine.temperature
+    temp = processor(engine.temperature, engine.top_k, engine.top_p)
     max_new = engine.max_new_tokens
     eos = cfg_target.eos_token_id
 
@@ -58,7 +58,7 @@ def make_stream_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
             [jnp.broadcast_to(last, (K, 1)).astype(jnp.int32), draft_toks], 1)
         tlogits, tcache = transformer.forward(cfg_target, params_t, tgt_in,
                                               tcache)
-        p = process_logits(tlogits, temp)
+        p = temp(tlogits)
         res = verify(v.method, kv, draft_toks, q, p, num_drafts=K)
         n_commit = res.n_matches + 1
         posn = jnp.arange(tokens.shape[0])

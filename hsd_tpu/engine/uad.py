@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import EngineConfig, ModelConfig
 from ..models import transformer
-from ..ops.sampling import process_logits, sample
+from ..ops.sampling import process_logits, processor, sample
 from .kvcache import init_cache, rollback
 
 
@@ -66,7 +66,7 @@ def make_uad_generate(cfg_t: ModelConfig, engine: EngineConfig,
     """Speculative decoding with a different-tokenizer draft. Returns
     generate(params_t, prompt_ids: List[int], key) -> List[int] new ids."""
     gamma = engine.verifier.gamma
-    temp = engine.temperature
+    temp = processor(engine.temperature, engine.top_k, engine.top_p)
     max_new = engine.max_new_tokens
     eos = cfg_t.eos_token_id
 
@@ -86,7 +86,7 @@ def make_uad_generate(cfg_t: ModelConfig, engine: EngineConfig,
         last = tokens[length - 1]
         tgt_in = jnp.concatenate([last[None], draft])[None]
         tlogits, cache = transformer.forward(cfg_t, params_t, tgt_in, cache)
-        probs = process_logits(tlogits[0], temp)
+        probs = temp(tlogits[0])
         u = jax.random.uniform(jax.random.fold_in(key, 0), (gamma,))
         px = jnp.take_along_axis(probs[:gamma],
                                  jnp.clip(draft, 0, probs.shape[-1] - 1)[:, None],

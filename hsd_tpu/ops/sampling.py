@@ -37,6 +37,14 @@ def process_logits(logits: jax.Array, temperature: float = 1.0,
     return jax.nn.softmax(logits, axis=-1)
 
 
+def processor(temperature: float, top_k: int = 0, top_p: float = 1.0):
+    """Closure form of process_logits — the engine-side equivalent of the
+    reference's prepared logits-processor chain (EAGLE utils.py:38-55)."""
+    def proc(logits: jax.Array) -> jax.Array:
+        return process_logits(logits, temperature, top_k, top_p)
+    return proc
+
+
 def sample(key: jax.Array, probs: jax.Array) -> jax.Array:
     """Categorical sample over the last axis of a probability array."""
     return jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-38)))

@@ -149,3 +149,21 @@ def test_packed_int4_draft_engine_e2e():
     np.testing.assert_array_equal(
         np.asarray(res.tokens)[10:10 + n],
         np.asarray(toks_ar)[10:10 + n])
+
+
+def test_top_k_one_equals_greedy_ar():
+    """top_k=1 with temperature 1 collapses sampling to argmax everywhere —
+    the spec stream must equal greedy AR exactly (threads the logits-
+    processor knobs through draft, target and verification)."""
+    eng = EngineConfig(verifier=VerifierConfig(method="hsd", gamma=4),
+                       max_new_tokens=16, temperature=1.0, top_k=1)
+    gen = make_generate(CFG, CFG, eng)
+    res = gen(PD, PT, PROMPT, PLEN, jax.random.PRNGKey(5))
+    eng0 = EngineConfig(verifier=VerifierConfig(method="greedy", gamma=4),
+                        max_new_tokens=16, temperature=0.0)
+    ar = make_autoregressive(CFG, eng0)
+    toks_ar, _ = ar(PT, PROMPT, PLEN, jax.random.PRNGKey(6))
+    n = int(res.ncommit)
+    assert n >= 1
+    np.testing.assert_array_equal(np.asarray(res.tokens)[10:10 + n],
+                                  np.asarray(toks_ar)[10:10 + n])

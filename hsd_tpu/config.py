@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
-    """Decoder-only transformer config covering Qwen2/2.5 and Llama-2/3 families.
+    """Decoder-only transformer config covering Qwen2/2.5, Llama-2/3 and Mixtral families.
 
     Mirrors the fields of HF Qwen2Config/LlamaConfig that the reference models
     rely on (ref: EAGLE-3H/eagle/model/modeling_llama_kv.py,
@@ -37,6 +37,15 @@ class ModelConfig:
     dtype: jnp.dtype = jnp.bfloat16
     # EOS handling lives with the model family
     eos_token_id: int = 151645
+    # Sparse mixture-of-experts (Mixtral family; ref vendors a tree-attention
+    # Mixtral at EAGLE-3H/eagle/model/modeling_mixtral_kv.py:426-516).
+    # num_experts == 0 means a dense MLP.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
 
     @property
     def head_dim_(self) -> int:
@@ -96,6 +105,26 @@ class ModelConfig:
                  eos_token_id=128009)
         d.update(kw)
         return ModelConfig(**d)
+
+    @staticmethod
+    def mixtral_8x7b(**kw) -> "ModelConfig":
+        """Mixtral-8x7B geometry (the reference's third model family,
+        ref: EAGLE-3H/eagle/model/modeling_mixtral_kv.py; train config
+        EAGLE-3H/eagle/train/mixtral_8x7B_config.json)."""
+        d = dict(vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+                 num_layers=32, num_heads=32, num_kv_heads=8,
+                 rope_theta=1e6, rms_norm_eps=1e-5,
+                 tie_word_embeddings=False, attention_bias=False,
+                 eos_token_id=2, num_experts=8, num_experts_per_tok=2)
+        d.update(kw)
+        return ModelConfig(**d)
+
+    @staticmethod
+    def tiny_moe(vocab_size: int = 256, **kw) -> "ModelConfig":
+        """Tiny Mixtral-style config for tests."""
+        d = dict(num_experts=4, num_experts_per_tok=2, attention_bias=False)
+        d.update(kw)
+        return ModelConfig.tiny(vocab_size=vocab_size, **d)
 
     @staticmethod
     def tiny(vocab_size: int = 256, **kw) -> "ModelConfig":

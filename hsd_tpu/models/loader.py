@@ -1,7 +1,7 @@
 """HF checkpoint loading: safetensors -> ModelParams pytrees.
 
 Covers the model zoo the reference drives (SURVEY.md §2.2/2.3):
-  * plain bf16/f16 Qwen2/Llama checkpoints;
+  * plain bf16/f16 Qwen2/Llama/Mixtral checkpoints;
   * GPTQ weight-only checkpoints (auto-gptq layout: packed int32 qweight,
     packed int32 qzeros, f16 scales, group_size typically 128) — the formats
     behind `Qwen/Qwen2.5-*-Instruct-GPTQ-Int8/Int4`
@@ -39,7 +39,7 @@ def _load_all_tensors(path: str) -> Dict[str, np.ndarray]:
 
 
 def config_from_hf(path: str) -> ModelConfig:
-    """Build a ModelConfig from an HF config.json (Qwen2/Llama families)."""
+    """Build a ModelConfig from an HF config.json (Qwen2/Llama/Mixtral families)."""
     with open(os.path.join(path, "config.json")) as f:
         c = json.load(f)
     eos = c.get("eos_token_id")
@@ -58,6 +58,10 @@ def config_from_hf(path: str) -> ModelConfig:
         tie_word_embeddings=c.get("tie_word_embeddings", False),
         attention_bias=c.get("model_type", "qwen2") == "qwen2",
         eos_token_id=eos if eos is not None else 0,
+        # Mixtral family (ref: modeling_mixtral_kv.py:465-466 reads
+        # num_local_experts / num_experts_per_tok off the HF config)
+        num_experts=c.get("num_local_experts", 0),
+        num_experts_per_tok=c.get("num_experts_per_tok", 2),
     )
 
 
@@ -125,7 +129,7 @@ def _dense(t: Dict[str, np.ndarray], name: str, dtype,
 def load_hf(path: str, cfg: Optional[ModelConfig] = None,
             quantized: Optional[int] = None,
             quantize_embed: bool = False) -> tuple:
-    """Load an HF Qwen2/Llama checkpoint directory.
+    """Load an HF Qwen2/Llama/Mixtral checkpoint directory.
 
     quantized: None for dense; 8/4 for GPTQ checkpoints.
     quantize_embed: also quantize the embedding table per-row int8
@@ -169,10 +173,44 @@ def load_hf(path: str, cfg: Optional[ModelConfig] = None,
         wk=mat("self_attn.k_proj"),
         wv=mat("self_attn.v_proj"),
         wo=mat("self_attn.o_proj"),
-        wgate=mat("mlp.gate_proj"),
-        wup=mat("mlp.up_proj"),
-        wdown=mat("mlp.down_proj"),
     )
+    if cfg.is_moe:
+        # Mixtral layout: block_sparse_moe.gate + experts.{e}.w1/w3/w2
+        # (ref: modeling_mixtral_kv.py:432-434,469-471; w1=gate, w3=up,
+        # w2=down). Stacked [L, E, in, out].
+        E = cfg.num_experts
+
+        def stack_experts(wname):
+            if quantized:
+                qs = [[_gptq_linear(
+                    t, f"model.layers.{i}.block_sparse_moe.experts.{e}.{wname}",
+                    quantized, dt) for e in range(E)] for i in range(L)]
+                return QuantizedLinear(
+                    qweight=jnp.stack([jnp.stack([q.qweight for q in row])
+                                       for row in qs]),
+                    scales=jnp.stack([jnp.stack([q.scales for q in row])
+                                      for row in qs]),
+                    zeros=jnp.stack([jnp.stack([q.zeros for q in row])
+                                     for row in qs]),
+                )
+            return jnp.stack([jnp.stack([_dense(
+                t, f"model.layers.{i}.block_sparse_moe.experts.{e}.{wname}.weight",
+                dt) for e in range(E)]) for i in range(L)])
+
+        layers.update(
+            gate=jnp.stack([_dense(
+                t, f"model.layers.{i}.block_sparse_moe.gate.weight",
+                jnp.float32) for i in range(L)]),
+            wgate=stack_experts("w1"),
+            wup=stack_experts("w3"),
+            wdown=stack_experts("w2"),
+        )
+    else:
+        layers.update(
+            wgate=mat("mlp.gate_proj"),
+            wup=mat("mlp.up_proj"),
+            wdown=mat("mlp.down_proj"),
+        )
     if cfg.attention_bias and "model.layers.0.self_attn.q_proj.bias" in t:
         layers.update(
             bq=stack_bias("model.layers.{}.self_attn.q_proj.bias"),

@@ -1,4 +1,4 @@
-"""Unified Qwen2/Llama decoder in pure functional JAX.
+"""Unified Qwen2/Llama/Mixtral decoder in pure functional JAX.
 
 One model stack serves draft and target (the reference carries three:
 stock HF, patched HF, and vendored EAGLE models — SURVEY.md §7). Parameters
@@ -72,10 +72,23 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> ModelParams:
         wk=dense(next(keys), (L, D, Hkv * hd)),
         wv=dense(next(keys), (L, D, Hkv * hd)),
         wo=dense(next(keys), (L, H * hd, D)),
-        wgate=dense(next(keys), (L, D, F)),
-        wup=dense(next(keys), (L, D, F)),
-        wdown=dense(next(keys), (L, F, D)),
     )
+    if cfg.is_moe:
+        # Mixtral-style sparse MoE: router gate [D, E] + per-expert SwiGLU
+        # stacks [E, D, F] (ref: modeling_mixtral_kv.py:426-516 gate/w1/w3/w2)
+        E = cfg.num_experts
+        layers.update(
+            gate=dense(next(keys), (L, D, E)).astype(jnp.float32),
+            wgate=dense(next(keys), (L, E, D, F), scale=D ** -0.5),
+            wup=dense(next(keys), (L, E, D, F), scale=D ** -0.5),
+            wdown=dense(next(keys), (L, E, F, D), scale=F ** -0.5),
+        )
+    else:
+        layers.update(
+            wgate=dense(next(keys), (L, D, F)),
+            wup=dense(next(keys), (L, D, F)),
+            wdown=dense(next(keys), (L, F, D)),
+        )
     if cfg.attention_bias:
         layers.update(
             bq=jnp.zeros((L, H * hd), cfg.dtype),
@@ -116,8 +129,47 @@ def fuse_params(cfg: ModelConfig, params: ModelParams) -> ModelParams:
     if "bq" in L:
         L["bqkv"] = jnp.concatenate([L.pop("bq"), L.pop("bk"), L.pop("bv")],
                                     axis=-1)
-    L["wgu"] = cat([L.pop("wgate"), L.pop("wup")])
+    if "gate" not in L:  # MoE expert stacks stay unfused (per-expert matmuls)
+        L["wgu"] = cat([L.pop("wgate"), L.pop("wup")])
     return params._replace(layers=L)
+
+
+def _moe_ffn(cfg: ModelConfig, lp: Dict[str, Any], h: jax.Array) -> jax.Array:
+    """Sparse-MoE SwiGLU block (Mixtral family). h: [B, T, D] -> [B, T, D].
+
+    TPU-first formulation of the reference's MixtralSparseMoeBlock
+    (modeling_mixtral_kv.py:449-516): instead of a per-expert Python loop over
+    host-synced `torch.where` index lists (:495-513), every expert runs on
+    every token as one fixed-shape batched matmul and the top-k routing
+    weights (exact zeros for unselected experts) scale the expert sum. At
+    decode-sized T this keeps the MXU busy with static shapes, and under
+    expert-parallel sharding (parallel/sharding.py expert_parallel=True) each
+    device streams only its local experts and the expert sum compiles to one
+    psum — no all-to-all, no capacity/dropping logic.
+
+    Router math matches the reference exactly: fp32 softmax over all experts
+    (:480), top-k, renormalize over the selected k (:482).
+    """
+    B, T, D = h.shape
+    E, K = cfg.num_experts, cfg.num_experts_per_tok
+    x = h.reshape(B * T, D)
+    router = jnp.einsum("nd,de->ne", x.astype(jnp.float32),
+                        lp["gate"].astype(jnp.float32))
+    probs = jax.nn.softmax(router, axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, K)
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    # [N, E] dense routing weights, zero for unselected experts
+    weights = jnp.sum(jax.nn.one_hot(top_i, E, dtype=jnp.float32)
+                      * top_w[..., None], axis=1)
+    # vmap over the expert axis works for dense arrays and QuantizedLinear
+    # pytrees alike (each leaf carries the [E] leading axis)
+    g = jax.vmap(lambda w: apply_linear(w, x))(lp["wgate"])   # [E, N, F]
+    u = jax.vmap(lambda w: apply_linear(w, x))(lp["wup"])
+    act = jax.nn.silu(g) * u
+    out = jax.vmap(apply_linear)(lp["wdown"], act)            # [E, N, D]
+    y = jnp.einsum("ne,end->nd", weights, out.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return y.reshape(B, T, D).astype(h.dtype)
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -227,15 +279,18 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
                          attn_bias)
         x = x + apply_linear(lp["wo"], att.reshape(B, T, H * hd))
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        if "wgu" in lp:
+        if "gate" in lp:
+            x = x + _moe_ffn(cfg, lp, h)
+        elif "wgu" in lp:
             F = lp["wdown"].shape[-2] if not hasattr(lp["wdown"], "qweight") \
                 else lp["wdown"].din  # logical in-dim (packed int4 aware)
             gu = apply_linear(lp["wgu"], h)
             ff = jax.nn.silu(gu[..., :F]) * gu[..., F:]
+            x = x + apply_linear(lp["wdown"], ff)
         else:
             ff = jax.nn.silu(apply_linear(lp["wgate"], h)) \
                 * apply_linear(lp["wup"], h)
-        x = x + apply_linear(lp["wdown"], ff)
+            x = x + apply_linear(lp["wdown"], ff)
         if collect_inputs:
             return x, (k_buf, v_buf, x_in)
         return x, (k_buf, v_buf)

@@ -27,11 +27,12 @@ from ..ops.linear import QuantizedLinear
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
-def _linear_spec(w: Any, in_spec, out_spec, stacked: bool):
+def _linear_spec(w: Any, in_spec, out_spec, stacked: bool, lead=()):
     """PartitionSpec tree for a dense array or QuantizedLinear.
 
-    stacked=True prepends the layer axis (replicated)."""
-    lead = (None,) if stacked else ()
+    stacked=True prepends the layer axis (replicated); `lead` appends
+    further leading axes (e.g. the MoE expert axis) after it."""
+    lead = ((None,) if stacked else ()) + tuple(lead)
     if isinstance(w, QuantizedLinear):
         return QuantizedLinear(
             qweight=P(*lead, in_spec, out_spec),
@@ -41,13 +42,42 @@ def _linear_spec(w: Any, in_spec, out_spec, stacked: bool):
     return P(*lead, in_spec, out_spec)
 
 
-def param_specs(params: ModelParams) -> ModelParams:
-    """ModelParams-shaped tree of PartitionSpecs (Megatron TP layout)."""
+def _is_expert_stacked(w: Any) -> bool:
+    """True for MoE expert weights: [L, E, in, out] (dense) or a
+    QuantizedLinear whose qweight carries the extra expert axis."""
+    arr = w.qweight if isinstance(w, QuantizedLinear) else w
+    return arr.ndim == 4
+
+
+def param_specs(params: ModelParams,
+                expert_parallel: bool = False) -> ModelParams:
+    """ModelParams-shaped tree of PartitionSpecs (Megatron TP layout).
+
+    MoE expert stacks ([L, E, in, out]) have two layouts:
+      * expert_parallel=False (default): TP inside each expert — ffn axis
+        sharded like the dense MLP; every device holds a slice of every
+        expert (uniform memory/compute regardless of routing skew).
+      * expert_parallel=True: the EXPERT axis rides `model` — each device
+        streams only its local experts and the all-expert einsum in
+        models/transformer._moe_ffn reduces with one psum (no all-to-all).
+        Requires num_experts % mesh.model == 0.
+    The router gate is always replicated.
+    """
     L = params.layers
     specs = {}
     for name, w in L.items():
         if name in ("ln1", "ln2"):
             specs[name] = P(None, None)
+        elif name == "gate":
+            specs[name] = P(None, None, None)
+        elif name in ("wgate", "wup") and _is_expert_stacked(w):
+            specs[name] = (_linear_spec(w, None, None, True, (MODEL_AXIS,))
+                           if expert_parallel else
+                           _linear_spec(w, None, MODEL_AXIS, True, (None,)))
+        elif name == "wdown" and _is_expert_stacked(w):
+            specs[name] = (_linear_spec(w, None, None, True, (MODEL_AXIS,))
+                           if expert_parallel else
+                           _linear_spec(w, MODEL_AXIS, None, True, (None,)))
         elif name in ("wq", "wk", "wv", "wgate", "wup"):
             specs[name] = _linear_spec(w, None, MODEL_AXIS, stacked=True)
         elif name in ("wo", "wdown"):
@@ -85,8 +115,9 @@ def shard_tree(tree: Any, specs: Any, mesh: Mesh) -> Any:
                         is_leaf=lambda x: x is None)
 
 
-def shard_params(params: ModelParams, mesh: Mesh) -> ModelParams:
-    return shard_tree(params, param_specs(params), mesh)
+def shard_params(params: ModelParams, mesh: Mesh,
+                 expert_parallel: bool = False) -> ModelParams:
+    return shard_tree(params, param_specs(params, expert_parallel), mesh)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

@@ -119,6 +119,36 @@ def test_moe_sharded_matches_single(expert_parallel):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_eagle_over_moe_base_greedy_equals_ar():
+    """EAGLE trie decoding over a Mixtral-style MoE base: greedy must
+    reproduce the base model's greedy chain exactly (the reference's Mixtral
+    exists precisely as the tree-attention base for EAGLE,
+    modeling_mixtral_kv.py:769-773 tree_mask injection)."""
+    from hsd_tpu.engine import make_autoregressive
+    from hsd_tpu.engine.eagle_engine import make_eagle_generate
+    from hsd_tpu.models.eagle import EagleConfig, init_eagle_params
+
+    tcfg = ModelConfig.tiny_moe(vocab_size=64, hidden_size=32,
+                                intermediate_size=64, num_layers=4,
+                                num_heads=4, num_kv_heads=2)
+    ecfg = EagleConfig(hidden_size=32, target_hidden_size=32, num_heads=4,
+                       num_kv_heads=2, vocab_size=64, draft_vocab_size=64,
+                       intermediate_size=64, top_k=4, depth=3,
+                       total_tokens=11, dtype=jnp.float32, rope_theta=10000.0)
+    pt = init_params(tcfg, jax.random.PRNGKey(0))
+    pe = init_eagle_params(ecfg, jax.random.PRNGKey(1))
+    prompt = (jnp.arange(8, dtype=jnp.int32) % 50) + 1
+    eng = EngineConfig(max_new_tokens=10, temperature=0.0)
+    res = make_eagle_generate(tcfg, ecfg, eng, mode="greedy")(
+        pt, pe, prompt, jnp.int32(8), jax.random.PRNGKey(5))
+    t_ar, l_ar = make_autoregressive(tcfg, eng)(
+        pt, prompt, jnp.int32(8), jax.random.PRNGKey(6))
+    n = min(int(res.length), int(l_ar))
+    assert n > 8
+    np.testing.assert_array_equal(np.asarray(res.tokens)[8:n],
+                                  np.asarray(t_ar)[8:n])
+
+
 def test_mixtral_checkpoint_loader(tmp_path):
     """Round-trip a synthetic Mixtral-layout safetensors checkpoint
     (block_sparse_moe.gate + experts.{e}.w1/w3/w2 naming,

@@ -232,6 +232,57 @@ def load_hf(path: str, cfg: Optional[ModelConfig] = None,
                             final_norm=final_norm, lm_head=lm_head)
 
 
+def _truncate_vocab(cfg: ModelConfig, params: ModelParams, V: int):
+    """Slice one model's vocab-sized tensors down to V rows/columns."""
+    import dataclasses
+
+    from .transformer import QuantizedEmbedding
+
+    if cfg.vocab_size == V:
+        return cfg, params
+    assert cfg.vocab_size > V, (cfg.vocab_size, V)
+    embed = params.embed
+    if isinstance(embed, QuantizedEmbedding):
+        embed = QuantizedEmbedding(codes=embed.codes[:V],
+                                   scale=embed.scale[:V])
+    else:
+        embed = embed[:V]
+    lm_head = params.lm_head
+    if isinstance(lm_head, QuantizedLinear):
+        lm_head = QuantizedLinear(
+            qweight=lm_head.qweight[..., :V],
+            scales=lm_head.scales[..., :V],
+            zeros=None if lm_head.zeros is None else lm_head.zeros[..., :V])
+    elif lm_head is not None:
+        lm_head = lm_head[:, :V]
+    eos = cfg.eos_token_id
+    assert eos < V, f"eos_token_id {eos} would be truncated (V={V})"
+    return (dataclasses.replace(cfg, vocab_size=V),
+            params._replace(embed=embed, lm_head=lm_head))
+
+
+def align_vocab(cfg_a: ModelConfig, params_a: ModelParams,
+                cfg_b: ModelConfig, params_b: ModelParams):
+    """Truncate both models' vocabularies to the common minimum.
+
+    Speculative verification compares full q/p logit rows, so draft and
+    target must emit the same vocab width; Qwen2.5 pairs differ (0.5B:
+    151936 vs 14B+: 152064). The reference rebuilds each model's lm_head at
+    min-vocab width (eval_speculative_decoding_llm.py:140-198); here the
+    embed rows and lm_head out-features are sliced instead (works for dense,
+    tied, QuantizedLinear and QuantizedEmbedding heads). The dropped rows are
+    beyond the tokenizer's id range for these checkpoints, so the sampled
+    distribution is unchanged up to softmax renormalization over the removed
+    (untrained) tail — the same semantics as the reference.
+
+    Returns (cfg_a', params_a', cfg_b', params_b').
+    """
+    V = min(cfg_a.vocab_size, cfg_b.vocab_size)
+    cfg_a, params_a = _truncate_vocab(cfg_a, params_a, V)
+    cfg_b, params_b = _truncate_vocab(cfg_b, params_b, V)
+    return cfg_a, params_a, cfg_b, params_b
+
+
 def load_eagle_hf(path: str, target_embed, dtype=jnp.bfloat16):
     """Load an EAGLE-3 draft-head checkpoint (e.g. EAGLE3-LLaMA3.1-Instruct-8B)
     into EagleParams. The head checkpoint stores the fused decoder layer under

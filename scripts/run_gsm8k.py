@@ -87,6 +87,14 @@ def main():
             vocab_size=cfg_t.vocab_size)
         params_d = init_params(cfg_d, jax.random.PRNGKey(0))
 
+    if cfg_d.vocab_size != cfg_t.vocab_size:
+        # Qwen2.5 pairs ship mismatched vocab widths (0.5B: 151936 vs 14B+:
+        # 152064); truncate both to the common min like the reference
+        # (eval_speculative_decoding_llm.py:140-198)
+        from hsd_tpu.models.loader import align_vocab
+        cfg_d, params_d, cfg_t, params_t = align_vocab(
+            cfg_d, params_d, cfg_t, params_t)
+
     if args.tp > 1:
         from hsd_tpu.parallel import make_mesh, replicate, shard_params
         mesh = make_mesh(data=1, model=args.tp)

@@ -175,3 +175,45 @@ def test_quantized_embedding_forward():
     c2 = np.asarray(jnp.argmax(l2, -1))
     assert (c1 == c2).mean() > 0.5  # loose: same model up to int8 noise
     assert not bool(jnp.isnan(l2).any())
+
+
+def test_align_vocab_truncates_both_models():
+    """align_vocab: mismatched Qwen-style vocab widths truncate to the common
+    min (ref: eval_speculative_decoding_llm.py:140-198) with exact logit
+    equality on the surviving rows, for dense-tied, dense-untied and
+    quantized heads."""
+    import dataclasses
+    from hsd_tpu.models import init_params
+    from hsd_tpu.models.loader import align_vocab
+    from hsd_tpu.ops.linear import quantize
+
+    cfg_d = ModelConfig.tiny(vocab_size=64)                      # tied head
+    cfg_t = dataclasses.replace(ModelConfig.tiny(vocab_size=96),
+                                tie_word_embeddings=False,
+                                eos_token_id=63)
+    pd = init_params(cfg_d, jax.random.PRNGKey(0))
+    pt = init_params(cfg_t, jax.random.PRNGKey(1))
+
+    toks = (jnp.arange(5, dtype=jnp.int32) % 60)[None, :]
+    base_t, _ = transformer.forward(cfg_t, pt, toks, init_cache(cfg_t, 1, 8))
+
+    cfg_d2, pd2, cfg_t2, pt2 = align_vocab(cfg_d, pd, cfg_t, pt)
+    assert cfg_d2.vocab_size == cfg_t2.vocab_size == 64
+    assert pd2.embed.shape[0] == 64 and pt2.lm_head.shape == \
+        (cfg_t.hidden_size, 64)
+    out_t, _ = transformer.forward(cfg_t2, pt2, toks, init_cache(cfg_t2, 1, 8))
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(base_t[..., :64]),
+                               rtol=1e-5, atol=1e-5)
+
+    # quantized untied head: codes/scales/zeros slice on the out axis
+    ptq = pt._replace(lm_head=quantize(pt.lm_head.astype(jnp.float32),
+                                       group_size=64))
+    _, _, cfg_t3, pt3 = align_vocab(cfg_d, pd, cfg_t, ptq)
+    assert pt3.lm_head.qweight.shape[-1] == 64
+    outq, _ = transformer.forward(cfg_t3, pt3, toks, init_cache(cfg_t3, 1, 8))
+    assert outq.shape[-1] == 64 and bool(jnp.isfinite(outq).all())
+
+    # EOS beyond the truncated width must be rejected
+    cfg_bad = dataclasses.replace(cfg_t, eos_token_id=90)
+    with np.testing.assert_raises(AssertionError):
+        align_vocab(cfg_d, pd, cfg_bad, pt)

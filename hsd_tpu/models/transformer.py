@@ -255,20 +255,42 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
     else:
         x = jnp.take(params.embed, tokens, axis=0).astype(cfg.dtype)
 
+    from ..ops.linear import QuantizedLinear
+
+    # layer-stacked QuantizedLinear weights are NOT scanned over: XLA lowers
+    # a scan body's per-layer slice of a custom-call operand to a
+    # materialized dynamic-slice copy (3x weight HBM traffic at 14B shapes —
+    # docs/BENCHMARKS.md). They stay whole and the Pallas kernel selects the
+    # layer via scalar-prefetch index maps (apply_linear(..., layer=idx)).
+    # MoE expert stacks ([L, E, ...]) keep the scan slicing.
+    names = params.layers
+    qnames = frozenset(
+        k for k, v in names.items()
+        if isinstance(v, QuantizedLinear) and v.qweight.ndim == 3)
+    xs_layers = {k: v for k, v in names.items() if k not in qnames}
+    nL = next(iter(names.values()))
+    nL = (nL.qweight if isinstance(nL, QuantizedLinear) else nL).shape[0]
+
     def layer_fn(x, inp):
-        lp, k_buf, v_buf = inp
+        lp, idx, k_buf, v_buf = inp
+
+        def lin(name, h, bias=None):
+            if name in qnames:
+                return apply_linear(names[name], h, bias, layer=idx)
+            return apply_linear(lp[name], h, bias)
+
         x_in = x
         h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        if "wqkv" in lp:
+        if "wqkv" in names:
             # fused single-chip layout (fuse_params): one matmul for q|k|v
-            qkv = apply_linear(lp["wqkv"], h, lp.get("bqkv"))
+            qkv = lin("wqkv", h, lp.get("bqkv"))
             q = qkv[..., :H * hd]
             k = qkv[..., H * hd:(H + Hkv) * hd]
             v = qkv[..., (H + Hkv) * hd:]
         else:
-            q = apply_linear(lp["wq"], h, lp.get("bq"))
-            k = apply_linear(lp["wk"], h, lp.get("bk"))
-            v = apply_linear(lp["wv"], h, lp.get("bv"))
+            q = lin("wq", h, lp.get("bq"))
+            k = lin("wk", h, lp.get("bk"))
+            v = lin("wv", h, lp.get("bv"))
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, Hkv, hd)
         v = v.reshape(B, T, Hkv, hd)
@@ -277,34 +299,35 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         k_buf, v_buf = append_layer(k_buf, v_buf, cache.length, k, v)
         att = _attention(q, k_buf, v_buf, q_index, cache.length, cache.start,
                          attn_bias)
-        x = x + apply_linear(lp["wo"], att.reshape(B, T, H * hd))
+        x = x + lin("wo", att.reshape(B, T, H * hd))
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        if "gate" in lp:
+        if "gate" in names:
             x = x + _moe_ffn(cfg, lp, h)
-        elif "wgu" in lp:
-            F = lp["wdown"].shape[-2] if not hasattr(lp["wdown"], "qweight") \
-                else lp["wdown"].din  # logical in-dim (packed int4 aware)
-            gu = apply_linear(lp["wgu"], h)
+        elif "wgu" in names:
+            wdown = names["wdown"]
+            F = wdown.din if isinstance(wdown, QuantizedLinear) \
+                else wdown.shape[-2]  # logical in-dim (packed int4 aware)
+            gu = lin("wgu", h)
             ff = jax.nn.silu(gu[..., :F]) * gu[..., F:]
-            x = x + apply_linear(lp["wdown"], ff)
+            x = x + lin("wdown", ff)
         else:
-            ff = jax.nn.silu(apply_linear(lp["wgate"], h)) \
-                * apply_linear(lp["wup"], h)
-            x = x + apply_linear(lp["wdown"], ff)
+            ff = jax.nn.silu(lin("wgate", h)) * lin("wup", h)
+            x = x + lin("wdown", ff)
         if collect_inputs:
             return x, (k_buf, v_buf, x_in)
         return x, (k_buf, v_buf)
 
     collect_inputs = (feature_layers is not None
                       and tuple(feature_layers) != (-1,))
+    idxs = jnp.arange(nL, dtype=jnp.int32)
     if collect_inputs:
         x, (k_new, v_new, layer_inputs) = jax.lax.scan(
-            layer_fn, x, (params.layers, cache.k, cache.v))
+            layer_fn, x, (xs_layers, idxs, cache.k, cache.v))
         feats = jnp.concatenate([layer_inputs[i] for i in feature_layers],
                                 axis=-1)
     else:
         x, (k_new, v_new) = jax.lax.scan(
-            layer_fn, x, (params.layers, cache.k, cache.v))
+            layer_fn, x, (xs_layers, idxs, cache.k, cache.v))
         # feature_layers == (-1,): EAGLE-1/2 stream = final pre-norm hidden
         feats = x
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)

@@ -28,33 +28,40 @@ from jax.experimental.pallas import tpu as pltpu
 from .linear import QuantizedLinear
 
 
-def _scale_slice(s_ref, gpb, n_in_blocks):
+def _scale_slice(s_ref, gpb, n_in_blocks, stacked=False):
     if n_in_blocks == 1:
         # single in-block: the full scales array belongs to this block
-        return s_ref[:].astype(jnp.float32)        # [gpb, out_blk]
+        s = s_ref[0] if stacked else s_ref[:]
+        return s.astype(jnp.float32)               # [gpb, out_blk]
     # gpb is 8-aligned by construction (see _pick_block_in), so the
     # slice start is provably sublane-aligned for Mosaic
     g0 = pl.multiple_of(pl.program_id(1) * gpb, 8)
+    if stacked:
+        return s_ref[0, pl.ds(g0, gpb), :].astype(jnp.float32)
     return s_ref[pl.ds(g0, gpb), :].astype(jnp.float32)
 
 
-def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs, n_in_blocks):
+def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs, n_in_blocks,
+            stacked=False):
     """Grid (out_blocks, in_blocks); accumulate x_blk @ (codes * scale).
 
     Zero-points are handled OUTSIDE the kernel as a rank-1 correction
     (y -= (sum_i x_g[i]) @ (zero*scale)), so the hot loop dequantizes with a
     single fused convert-multiply — the elementwise dequant is the VPU-bound
-    part of this memory-streaming kernel (docs/BENCHMARKS.md)."""
+    part of this memory-streaming kernel (docs/BENCHMARKS.md).
+
+    stacked=True: weight/scale refs carry a leading layer axis of block 1
+    (scalar-prefetch layer select — see gptq_matmul layer_index)."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    codes = w_ref[:].astype(jnp.float32)           # [in_blk, out_blk]
+    codes = (w_ref[0] if stacked else w_ref[:]).astype(jnp.float32)
     in_blk, out_blk = codes.shape
     codes = codes.reshape(gpb, gs, out_blk)
-    scale = _scale_slice(s_ref, gpb, n_in_blocks)
+    scale = _scale_slice(s_ref, gpb, n_in_blocks, stacked=stacked)
     w = (codes * scale[:, None, :]).reshape(in_blk, out_blk)
     acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
                           preferred_element_type=jnp.float32)
@@ -65,7 +72,7 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs, n_in_blocks):
 
 
 def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
-                 gpb, gs_p, n_in_blocks):
+                 gpb, gs_p, n_in_blocks, stacked=False):
     """Nibble-packed int4 variant. Grid (out_blocks, in_blocks) over PACKED
     rows: byte i holds input rows 2i (low nibble) / 2i+1 (high nibble), which
     share a quantization group, so one scale slice serves both nibble planes.
@@ -91,10 +98,10 @@ def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
     # per-streamed-byte VPU work is cast / shift / 2 converts — every other
     # op rides the MXU (raw-byte dot + hi dot) or the partial outputs.
     xm = xm_ref[:]
-    b = w_ref[:].astype(jnp.int32)                 # [gpb, gs_p, out_blk]
+    b = (w_ref[0] if stacked else w_ref[:]).astype(jnp.int32)  # [gpb, gs_p, out_blk]
     braw = b.astype(xe.dtype)                      # lo + 16*hi
     hi = (b >> 4).astype(xe.dtype)                 # rows 2i+1
-    scale = _scale_slice(s_ref, gpb, n_in_blocks)
+    scale = _scale_slice(s_ref, gpb, n_in_blocks, stacked=stacked)
     dims = (((2,), (1,)), ((0,), (0,)))
     part = (jax.lax.dot_general(xe, braw, dims,
                                 preferred_element_type=jnp.float32)
@@ -142,18 +149,29 @@ def _pick_block_in(din: int, gs: int, target: int = 8192) -> int:
                                              "interpret", "vmem_cap_mb"))
 def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
                 block_in: int = 0, interpret: bool = False,
-                vmem_cap_mb: int = 8) -> jax.Array:
+                vmem_cap_mb: int = 8,
+                layer_index=None) -> jax.Array:
     """y = x @ dequant(qw). x: [..., in]; returns [..., out] in x.dtype.
 
     Rows are padded to the f32 sublane (8). in must divide by a multiple of
     the group size (model dims are multiples of 128 in practice); block_out=0
     auto-picks the largest legal out-block under the VMEM budget (explicit
     values are shrunk to a legal divisor).
+
+    layer_index: when given, qw is a LAYER-STACKED pytree (qweight
+    [L, in, out], scales/zeros [L, groups, out]) and the kernel streams layer
+    `layer_index`'s tiles straight from the stacked HBM array via
+    scalar-prefetch index maps. This is how the decode loop's lax.scan over
+    stacked layers reads quantized weights WITHOUT the dynamic-slice
+    materialization XLA otherwise inserts before a custom call — measured 3x
+    weight-stream traffic (233 vs 684 GB/s at 14B shapes, the read+write+read
+    of the sliced copy; docs/BENCHMARKS.md).
     """
+    stacked = layer_index is not None
     packed = qw.qweight.dtype == jnp.uint8
-    rows, dout = qw.qweight.shape              # packed: rows = din/2
+    rows, dout = qw.qweight.shape[-2:]         # packed: rows = din/2
     din = 2 * rows if packed else rows
-    groups = qw.scales.shape[0]
+    groups = qw.scales.shape[-2]
     gs = din // groups                         # original group size
     gs_k = gs // 2 if packed else gs           # group size in WEIGHT rows
     lead = x.shape[:-1]
@@ -177,6 +195,21 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
             block_out //= 2
     assert rows % block_in == 0 and block_in % gs_k == 0, (rows, block_in, gs_k)
     gpb = block_in // gs_k
+    if not packed:
+        # total-VMEM guard: the w-tile budget above ignores the activation
+        # rows; at prefill sizes (npad 32+) the double-buffered weight tile
+        # plus x/out/acc can bust the scoped budget (observed: 5120x27648,
+        # npad=32 -> 16.36M > 16M). Bound block_out by the full expression
+        # against the 64MB scoped budget requested below, leaving headroom.
+        cap = 48 * 1024 * 1024
+        denom = 2 * block_in + 8 * npad          # 2B dbl-buf w + out/acc
+        limit = max(128, (cap - 2 * npad * block_in) // denom)
+        if block_out > limit:
+            best = 128
+            for d in range(128, dout // 128 * 128 + 1, 128):
+                if dout % d == 0 and d <= limit:
+                    best = d
+            block_out = best
     if packed:
         # VMEM model for the int4 kernel: u8 weight tile gpb*gs_k*bo plus two
         # f32 batched-dot partials gpb*npad*bo*4 — the partials dominate at
@@ -193,12 +226,31 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
     n_in_blocks = rows // block_in
     grid = (dout // block_out, n_in_blocks)
 
-    w_spec = pl.BlockSpec((block_in, block_out), lambda o, i: (i, o),
+    # index maps: under scalar prefetch every map takes the scalar ref as a
+    # trailing argument (after the grid indices) and the weight/scale maps
+    # select the layer with s[0]
+    if stacked:
+        wl = (1,)
+        w_map = lambda o, i, s: (s[0], i, o)
+        s_map = lambda o, i, s: (s[0], 0, o)
+        x_map = lambda o, i, s: (0, i)
+        x3_map = lambda o, i, s: (i, 0, 0)
+        w3_map = lambda o, i, s: (s[0], i, 0, o)
+        o_map = lambda o, i, s: (0, o)
+    else:
+        wl = ()
+        w_map = lambda o, i: (i, o)
+        s_map = lambda o, i: (0, o)
+        x_map = lambda o, i: (0, i)
+        x3_map = lambda o, i: (i, 0, 0)
+        w3_map = lambda o, i: (i, 0, o)
+        o_map = lambda o, i: (0, o)
+
+    w_spec = pl.BlockSpec((*wl, block_in, block_out), w_map,
                           memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((groups, block_out), lambda o, i: (0, o),
+    s_spec = pl.BlockSpec((*wl, groups, block_out), s_map,
                           memory_space=pltpu.VMEM)
-    x_spec = pl.BlockSpec((npad, block_in), lambda o, i: (0, i),
-                          memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((npad, block_in), x_map, memory_space=pltpu.VMEM)
     if packed:
         # deinterleave + group-major arrange x once (XLA-side, x is tiny):
         # even columns pair with low nibbles; weights ride as [G, gs_p, out]
@@ -207,60 +259,82 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
         xo = x2[:, 1::2].reshape(npad, groups, gs_k).transpose(1, 0, 2)
         xm = (xo.astype(jnp.float32)
               - 16.0 * xe.astype(jnp.float32)).astype(xe.dtype)
-        x3_spec = pl.BlockSpec((gpb, npad, gs_k), lambda o, i: (i, 0, 0),
+        x3_spec = pl.BlockSpec((gpb, npad, gs_k), x3_map,
                                memory_space=pltpu.VMEM)
-        w3_spec = pl.BlockSpec((gpb, gs_k, block_out), lambda o, i: (i, 0, o),
+        w3_spec = pl.BlockSpec((*wl, gpb, gs_k, block_out), w3_map,
                                memory_space=pltpu.VMEM)
         in_specs = [x3_spec, x3_spec, w3_spec, s_spec]
-        args = [xe, xm, qw.qweight.reshape(groups, gs_k, dout), qw.scales]
+        args = [xe, xm, qw.qweight.reshape(*qw.qweight.shape[:-2],
+                                           groups, gs_k, dout), qw.scales]
         kern = functools.partial(_kernel_int4, gpb=gpb, gs_p=gs_k,
-                                 n_in_blocks=n_in_blocks)
+                                 n_in_blocks=n_in_blocks, stacked=stacked)
     else:
         in_specs = [x_spec, w_spec, s_spec]
         args = [x2, qw.qweight, qw.scales]
         kern = functools.partial(_kernel, gpb=gpb, gs=gs,
-                                 n_in_blocks=n_in_blocks)
+                                 n_in_blocks=n_in_blocks, stacked=stacked)
 
-    out = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((npad, block_out), lambda o, i: (0, o),
-                               memory_space=pltpu.VMEM),
+    out_spec = pl.BlockSpec((npad, block_out), o_map, memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((npad, block_out), jnp.float32)]
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((npad, dout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((npad, block_out), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            # the int4 kernel's nibble temps + dot partials exceed the 16MB
-            # default scoped budget at useful block sizes; v5e has 128MiB
-            # physical VMEM
-            vmem_limit_bytes=64 * 1024 * 1024 if packed else None),
+            # the int4 kernel's nibble temps + dot partials (and the int8
+            # kernel's double-buffered weight tiles at prefill row counts)
+            # exceed the 16MB default scoped budget at useful block sizes;
+            # v5e has 128MiB physical VMEM
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * din * dout,
             bytes_accessed=rows * dout + npad * din * 4 + npad * dout * 4,
             transcendentals=0),
         interpret=interpret,
-    )(*args)
+    )
+    if stacked:
+        lidx = jnp.atleast_1d(layer_index).astype(jnp.int32)
+        inner = kern
+        kern = lambda s_ref, *refs: inner(*refs)  # scalar ref only feeds maps
+        out = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+                out_specs=out_spec, scratch_shapes=scratch),
+            **common,
+        )(lidx, *args)
+    else:
+        out = pl.pallas_call(
+            kern, grid=grid, in_specs=in_specs, out_specs=out_spec,
+            scratch_shapes=scratch, **common,
+        )(*args)
 
     if qw.zeros is not None or packed:
         # rank-1 zero-point correction outside the kernel:
         # y[n,o] -= sum_g (sum_{i in g} x[n,i]) * zero[g,o]*scale[g,o]
         # packed int4 stores unsigned nibbles (code+8), so the uniform -8
         # shift rides in this correction even for symmetric weights
-        z = (qw.zeros.astype(jnp.float32) if qw.zeros is not None
+        zeros, scales = qw.zeros, qw.scales
+        if stacked:
+            scales = jax.lax.dynamic_index_in_dim(scales, layer_index, 0,
+                                                  keepdims=False)
+            if zeros is not None:
+                zeros = jax.lax.dynamic_index_in_dim(zeros, layer_index, 0,
+                                                     keepdims=False)
+        z = (zeros.astype(jnp.float32) if zeros is not None
              else jnp.float32(0.0))
         if packed:
             z = z + 8.0
-        zs = z * qw.scales.astype(jnp.float32)
+        zs = z * scales.astype(jnp.float32)
         xg = jnp.sum(x2.astype(jnp.float32).reshape(npad, groups, gs), axis=2)
         out = out - (xg @ zs).astype(out.dtype)
     return out[:n].reshape(*lead, dout)
 
 
 def pallas_supported(x: jax.Array, qw: QuantizedLinear) -> bool:
-    """Static check whether the Pallas path handles these shapes."""
-    rows, dout = qw.qweight.shape
-    groups = qw.scales.shape[0]
+    """Static check whether the Pallas path handles these shapes (2D weights
+    or layer-stacked 3D with a layer_index)."""
+    rows, dout = qw.qweight.shape[-2:]
+    groups = qw.scales.shape[-2]
     if qw.qweight.dtype == jnp.uint8:      # nibble-packed int4
         din = 2 * rows
         gs = din // groups

@@ -174,15 +174,33 @@ def _use_pallas(x, w) -> bool:
     return on_tpu and pallas_supported(x, w)
 
 
-def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
-    """y = x @ w (+ b) for dense arrays or QuantizedLinear pytrees."""
+def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
+                 layer: Optional[jax.Array] = None) -> jax.Array:
+    """y = x @ w (+ b) for dense arrays or QuantizedLinear pytrees.
+
+    layer: for a LAYER-STACKED QuantizedLinear (qweight [L, in, out]), select
+    layer `layer` inside the Pallas kernel via scalar prefetch — the decode
+    loop's lax.scan can then read quantized weights straight from the stacked
+    HBM array instead of paying XLA's dynamic-slice materialization before
+    the custom call (3x weight traffic; see gptq_pallas.gptq_matmul)."""
     if isinstance(w, QuantizedLinear):
-        if _use_pallas(x, w):
+        if layer is not None and w.qweight.ndim == 3:
+            if _use_pallas(x, w):
+                from .gptq_pallas import gptq_matmul
+                y = gptq_matmul(x, w, layer_index=layer)
+            else:
+                sliced = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, layer, 0, keepdims=False), w)
+                y = _gptq_matmul_xla(x, sliced)
+        elif _use_pallas(x, w):
             from .gptq_pallas import gptq_matmul
             y = gptq_matmul(x, w)
         else:
             y = _gptq_matmul_xla(x, w)
     else:
+        if layer is not None:
+            w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
         y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype))
     if b is not None:
         y = y + b.astype(y.dtype)

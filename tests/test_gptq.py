@@ -116,3 +116,48 @@ def test_int4_apply_linear_dispatch():
     want = x @ dequantize(qw, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("bits,symmetric", [(8, False), (8, True), (4, False)])
+def test_stacked_layer_index_kernel_interpret(bits, symmetric):
+    """Layer-stacked weights + scalar-prefetch layer select: for every layer
+    index, gptq_matmul(x, stacked, layer_index=l) must equal the 2D kernel on
+    that layer's slice (the zero-copy read path the decode scan uses —
+    gptq_pallas.py layer_index docstring)."""
+    L = 3
+    qs = [_mk(jax.random.PRNGKey(10 + i), din=512, dout=256, bits=bits,
+              symmetric=symmetric)[1] for i in range(L)]
+    stacked = QuantizedLinear(
+        qweight=jnp.stack([q.qweight for q in qs]),
+        scales=jnp.stack([q.scales for q in qs]),
+        zeros=None if qs[0].zeros is None else
+        jnp.stack([q.zeros for q in qs]))
+    x = jax.random.normal(jax.random.PRNGKey(99), (4, 512), jnp.float32)
+    for l in range(L):
+        want = x @ dequantize(qs[l], jnp.float32)
+        got = gptq_matmul(x, stacked, block_out=128, block_in=256,
+                          interpret=True, layer_index=jnp.int32(l))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4, err_msg=f"layer {l}")
+
+
+def test_apply_linear_layer_dispatch():
+    """apply_linear(..., layer=) on stacked quantized and dense weights."""
+    L = 2
+    qs = [_mk(jax.random.PRNGKey(20 + i), din=256, dout=128)[1]
+          for i in range(L)]
+    stacked = QuantizedLinear(qweight=jnp.stack([q.qweight for q in qs]),
+                              scales=jnp.stack([q.scales for q in qs]),
+                              zeros=jnp.stack([q.zeros for q in qs]))
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 256), jnp.float32)
+    for l in range(L):
+        got = apply_linear(stacked, x, layer=jnp.int32(l))
+        want = x @ dequantize(qs[l], jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+    wd = jnp.stack([jax.random.normal(jax.random.PRNGKey(30 + i), (256, 128))
+                    for i in range(L)])
+    for l in range(L):
+        got = apply_linear(wd, x, layer=jnp.int32(l))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(x @ wd[l]),
+                                   rtol=1e-5, atol=1e-5)

@@ -35,22 +35,35 @@ from hsd_tpu.ops.linear import QuantizedLinear, apply_linear
 LAYERS = int(os.environ.get("B14_LAYERS", 48))
 MAX_NEW = int(os.environ.get("B14_NEW", 32))
 ITERS = int(os.environ.get("B14_ITERS", 128))
+BITS = int(os.environ.get("B14_BITS", 8))      # 8 = speed, 4 = capacity path
+SKIP_MATVEC = bool(int(os.environ.get("B14_SKIP_MATVEC", "0")))
+# fully-int8 embedding + untied int8 head (models/transformer
+# QuantizedEmbedding): frees ~0.8GiB vs the tied bf16 head and halves the
+# per-token head stream — what lets the FULL 48-layer int8 model fit 16GB
+QE = bool(int(os.environ.get("B14_QE", "0")))
 GS = 128
 
-CFG = ModelConfig.qwen2_14b(num_layers=LAYERS, tie_word_embeddings=True,
+CFG = ModelConfig.qwen2_14b(num_layers=LAYERS, tie_word_embeddings=not QE,
                             attention_bias=False)
 
 
 @functools.partial(jax.jit, static_argnames=("din", "dout", "layers"))
 def _init_q(key, din, dout, layers):
-    """Device-side symmetric int8 QuantizedLinear, stacked on [layers].
+    """Device-side symmetric quantized weights, stacked on [layers].
     Codes are generated per layer under lax.map so the PRNG's u32 bit
     intermediates never materialize at full [L, in, out] size (4x the int8
-    array)."""
+    array). BITS=4 packs two signed nibbles per uint8 row-pair
+    (ops/linear.pack_int4 convention)."""
+    from hsd_tpu.ops.linear import pack_int4
+
     kc, ks = jax.random.split(key)
-    codes = jax.lax.map(
-        lambda k: jax.random.randint(k, (din, dout), -127, 128, jnp.int8),
-        jax.random.split(kc, layers))
+    if BITS == 4:
+        gen = lambda k: pack_int4(
+            jax.random.randint(k, (din, dout), -8, 8, jnp.int8))
+    else:
+        gen = lambda k: jax.random.randint(k, (din, dout), -127, 128,
+                                           jnp.int8)
+    codes = jax.lax.map(gen, jax.random.split(kc, layers))
     scales = (jnp.abs(jax.random.normal(ks, (layers, din // GS, dout))) * 1e-2
               + 1e-3).astype(jnp.bfloat16)
     return QuantizedLinear(qweight=codes, scales=scales, zeros=None)
@@ -71,6 +84,18 @@ def build_params(key):
         wgu=_init_q(ks[4], D, 2 * F, L),
         wdown=_init_q(ks[6], F, D, L),
     )
+    if QE:
+        from hsd_tpu.models.transformer import QuantizedEmbedding
+        k1, k2 = jax.random.split(ks[7])
+        embed = QuantizedEmbedding(
+            codes=jax.random.randint(k1, (CFG.vocab_size, D), -127, 128,
+                                     jnp.int8),
+            scale=jnp.full((CFG.vocab_size,), 2e-4, jnp.float32))
+        head = jax.tree.map(lambda a: a[0],
+                            _init_q(k2, D, CFG.vocab_size, 1))
+        return ModelParams(embed=embed, layers=layers,
+                           final_norm=jnp.ones((D,), jnp.float32),
+                           lm_head=head)
     embed = (jax.random.normal(ks[7], (CFG.vocab_size, D), jnp.float32)
              * 0.02).astype(jnp.bfloat16)
     return ModelParams(embed=embed, layers=layers,
@@ -118,9 +143,12 @@ def main():
     xf = jnp.ones((1, F), jnp.bfloat16)
 
     shapes = {}
-    l0 = jax.tree.map(lambda a: a[0], params.layers)
+    if SKIP_MATVEC:
+        matvec_us, wbytes = 1.0, 0
+    l0 = None if SKIP_MATVEC else jax.tree.map(lambda a: a[0], params.layers)
     total_bytes = 0
-    for name, xin in (("wqkv", x), ("wgu", x), ("wdown", xf)):
+    for name, xin in () if SKIP_MATVEC else (("wqkv", x), ("wgu", x),
+                                             ("wdown", xf)):
         w = l0[name]
         us = slope_time(w, xin) * 1e6
         nbytes = w.qweight.size + w.scales.size * 2
@@ -129,18 +157,19 @@ def main():
         shapes[name] = (us, gbps)
         print(f"{name:6s} [{w.qweight.shape}] {us:7.1f} us  {gbps:6.0f} GB/s",
               flush=True)
-    us = slope_time(params.embed.T, x) * 1e6
-    head_bytes = params.embed.size * 2
-    print(f"head   [{params.embed.shape}] {us:7.1f} us  "
-          f"{head_bytes / (us * 1e-6) / 1e9:6.0f} GB/s", flush=True)
+    if not SKIP_MATVEC:
+        us = slope_time(params.embed.T, x) * 1e6
+        head_bytes = params.embed.size * 2
+        print(f"head   [{params.embed.shape}] {us:7.1f} us  "
+              f"{head_bytes / (us * 1e-6) / 1e9:6.0f} GB/s", flush=True)
 
-    per_layer_us = sum(v[0] for v in shapes.values())
-    matvec_us = per_layer_us * CFG.num_layers + us
-    wbytes = total_bytes * CFG.num_layers + head_bytes
-    print(f"\nmatvec-sum prediction: {matvec_us / 1e3:.2f} ms/token "
-          f"({wbytes / 2**30:.2f} GiB weights -> "
-          f"{wbytes / (matvec_us * 1e-6) / 1e9:.0f} GB/s aggregate)",
-          flush=True)
+        per_layer_us = sum(v[0] for v in shapes.values())
+        matvec_us = per_layer_us * CFG.num_layers + us
+        wbytes = total_bytes * CFG.num_layers + head_bytes
+        print(f"\nmatvec-sum prediction: {matvec_us / 1e3:.2f} ms/token "
+              f"({wbytes / 2**30:.2f} GiB weights -> "
+              f"{wbytes / (matvec_us * 1e-6) / 1e9:.0f} GB/s aggregate)",
+              flush=True)
 
     eng = EngineConfig(max_new_tokens=MAX_NEW, temperature=1.0)
     gen = make_autoregressive(CFG, eng)

@@ -202,14 +202,17 @@ def _attention(q, k, v, q_index, kv_length, start, attn_bias):
     B, T, H, d = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     rep = H // Hkv
-    kr = jnp.repeat(k, rep, axis=2)
-    vr = jnp.repeat(v, rep, axis=2)
-    scores = jnp.einsum("bthd,bshd->bhts", q, kr,
+    # GQA as a grouped einsum over [kv_head, rep] — NEVER materialize the
+    # repeated K/V: jnp.repeat wrote rep x the cache bytes per layer per
+    # step, the dominant long-context cost (measured ~2ms/step/1024 slots at
+    # 14B geometry before this; KV-read speed-of-light is ~0.03ms).
+    qg = q.reshape(B, T, Hkv, rep, d)
+    scores = jnp.einsum("btkrd,bskd->bkrts", qg, k,
                         preferred_element_type=jnp.float32)
     scores = scores * (d ** -0.5)
-    key_pos = jnp.arange(S)[None, None, None, :]
-    qp = q_index[:, None, :, None]  # [B,1,T,1]
-    mask = (key_pos <= qp) & (key_pos >= start[:, None, None, None])
+    key_pos = jnp.arange(S)[None, None, None, None, :]
+    qp = q_index[:, None, None, :, None]  # [B,1,1,T,1]
+    mask = (key_pos <= qp) & (key_pos >= start[:, None, None, None, None])
     if attn_bias is not None:
         # Tree attention: attn_bias is a [T, T] additive bias over the new
         # tokens (the draft trie); it lands on the keys written this call,
@@ -218,14 +221,14 @@ def _attention(q, k, v, q_index, kv_length, start, attn_bias):
         kidx = jnp.clip(jnp.arange(S) - start, 0, T - 1)
         self_block = (jnp.arange(S)[None, :] >= start) & (jnp.arange(S)[None, :] < start + T)
         bias = jnp.where(self_block, attn_bias[:, kidx], 0.0)
-        scores = scores + bias[None, None, :, :]
+        scores = scores + bias[None, None, None, :, :]
     # large-negative (not -inf) so fully-masked pad rows stay finite: a NaN
     # softmax row would poison every later layer through 0 * NaN in the
     # value matmul.
     scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhts,bshd->bthd", probs, vr)
-    return out
+    out = jnp.einsum("bkrts,bskd->btkrd", probs, v)
+    return out.reshape(B, T, H, d)
 
 
 def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,

@@ -199,11 +199,13 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
         # total-VMEM guard: the w-tile budget above ignores the activation
         # rows; at prefill sizes (npad 32+) the double-buffered weight tile
         # plus x/out/acc can bust the scoped budget (observed: 5120x27648,
-        # npad=32 -> 16.36M > 16M). Bound block_out by the full expression
-        # against the 64MB scoped budget requested below, leaving headroom.
-        cap = 48 * 1024 * 1024
-        denom = 2 * block_in + 8 * npad          # 2B dbl-buf w + out/acc
-        limit = max(128, (cap - 2 * npad * block_in) // denom)
+        # npad=32 -> 16.36M > 16M; npad=1024 -> 148M > 128M physical).
+        # Bound block_out conservatively against the 64MB scoped budget
+        # requested below (Mosaic's real footprint runs ~2x this model:
+        # double-buffered x and out on top of w/acc).
+        cap = 24 * 1024 * 1024
+        denom = 2 * block_in + 16 * npad         # dbl-buf w + out/acc
+        limit = max(128, (cap - 4 * npad * block_in) // denom)
         if block_out > limit:
             best = 128
             for d in range(128, dout // 128 * 128 + 1, 128):

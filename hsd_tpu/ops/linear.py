@@ -170,8 +170,13 @@ def _use_pallas(x, w) -> bool:
     # the fused kernel wins at EVERY supported shape once the out-block is
     # sized to the VMEM budget — 5x at 896x1152 batch-1 (9.5 vs 59 us), 2.4x
     # at 4864x896, parity at 896x9728, 4x at 14B shapes. Route all supported
-    # int8 shapes to Pallas on TPU.
-    return on_tpu and pallas_supported(x, w)
+    # int8 shapes to Pallas on TPU — in the DECODE regime: the kernel is a
+    # weight-streaming matvec; at prefill row counts (x rows > 128) the
+    # matmul is compute-bound and the full-row x tiles bust VMEM at 14B
+    # out-dims, so large-N goes to XLA's fused int8 einsum.
+    import math
+    n_rows = math.prod(x.shape[:-1])
+    return on_tpu and n_rows <= 128 and pallas_supported(x, w)
 
 
 def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,

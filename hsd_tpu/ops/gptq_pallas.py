@@ -98,6 +98,9 @@ def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
     # per-streamed-byte VPU work is cast / shift / 2 converts — every other
     # op rides the MXU (raw-byte dot + hi dot) or the partial outputs.
     xm = xm_ref[:]
+    # NOTE: Mosaic has no direct u8->bf16 convert (tried: a float-domain
+    # floor(b/16) nibble split would save one convert/byte, but the mandatory
+    # u8->i32 hop erases the gain), so the int-domain split stays.
     b = (w_ref[0] if stacked else w_ref[:]).astype(jnp.int32)  # [gpb, gs_p, out_blk]
     braw = b.astype(xe.dtype)                      # lo + 16*hi
     hi = (b >> 4).astype(xe.dtype)                 # rows 2i+1

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..engine.kvcache import KVCache, append_layer
+from ..engine.kvcache import KVCache, append_layer_stacked
 from ..ops.linear import apply_linear, init_dense
 
 
@@ -274,8 +274,13 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
     nL = next(iter(names.values()))
     nL = (nL.qweight if isinstance(nL, QuantizedLinear) else nL).shape[0]
 
-    def layer_fn(x, inp):
-        lp, idx, k_buf, v_buf = inp
+    def layer_fn(carry, inp):
+        # the KV cache rides the CARRY (not xs/ys): in-place stacked update +
+        # read slice fused into the attention einsum = one cache read pass
+        # per step (xs slicing + ys re-stacking costs ~1.5x — kvcache.py
+        # append_layer_stacked)
+        x, k_all, v_all = carry
+        lp, idx = inp
 
         def lin(name, h, bias=None):
             if name in qnames:
@@ -299,7 +304,10 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         v = v.reshape(B, T, Hkv, hd)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
-        k_buf, v_buf = append_layer(k_buf, v_buf, cache.length, k, v)
+        k_all, v_all = append_layer_stacked(k_all, v_all, idx, cache.length,
+                                            k, v)
+        k_buf = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
+        v_buf = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
         att = _attention(q, k_buf, v_buf, q_index, cache.length, cache.start,
                          attn_bias)
         x = x + lin("wo", att.reshape(B, T, H * hd))
@@ -317,20 +325,18 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
             ff = jax.nn.silu(lin("wgate", h)) * lin("wup", h)
             x = x + lin("wdown", ff)
         if collect_inputs:
-            return x, (k_buf, v_buf, x_in)
-        return x, (k_buf, v_buf)
+            return (x, k_all, v_all), x_in
+        return (x, k_all, v_all), None
 
     collect_inputs = (feature_layers is not None
                       and tuple(feature_layers) != (-1,))
     idxs = jnp.arange(nL, dtype=jnp.int32)
+    (x, k_new, v_new), layer_inputs = jax.lax.scan(
+        layer_fn, (x, cache.k, cache.v), (xs_layers, idxs))
     if collect_inputs:
-        x, (k_new, v_new, layer_inputs) = jax.lax.scan(
-            layer_fn, x, (xs_layers, idxs, cache.k, cache.v))
         feats = jnp.concatenate([layer_inputs[i] for i in feature_layers],
                                 axis=-1)
     else:
-        x, (k_new, v_new) = jax.lax.scan(
-            layer_fn, x, (xs_layers, idxs, cache.k, cache.v))
         # feature_layers == (-1,): EAGLE-1/2 stream = final pre-norm hidden
         feats = x
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)

@@ -127,6 +127,12 @@ def _gptq_matmul_xla(x: jax.Array, qw: QuantizedLinear) -> jax.Array:
     Computed as sum_g (x_g @ codes_g) * scale_g - (x_g @ 1) * zero_g * scale_g
     so the big matmul runs on int8-converted codes and the per-group affine
     correction is a rank-1 term — no [in, out] float weight materialization.
+
+    Only for SMALL row counts: the [N, groups, out] f32 partial is the
+    decode-regime trade (weights streamed once, no dequant temp). At prefill
+    sizes it explodes (4.5GB at N=1024, 14B gu shape) — large N goes through
+    dequantize-then-dot, whose [in, out] bf16 temp is fixed-size and whose
+    cost is MXU-bound anyway.
     """
     if qw.packed_int4:
         qw = qw._replace(qweight=unpack_int4(qw.qweight))
@@ -134,6 +140,12 @@ def _gptq_matmul_xla(x: jax.Array, qw: QuantizedLinear) -> jax.Array:
     g = qw.scales.shape[0]
     gs = din // g
     lead = x.shape[:-1]
+    n_rows = 1
+    for s in lead:
+        n_rows *= s
+    if n_rows > 64:
+        w = dequantize(qw, x.dtype)
+        return jnp.einsum("...i,io->...o", x, w)
     xg = x.reshape(-1, g, gs)
     codes = qw.qweight.reshape(g, gs, dout).astype(x.dtype)
     # [N, g, dout] partial products per group

@@ -42,6 +42,11 @@ class ModelConfig:
     # num_experts == 0 means a dense MLP.
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # quantized-matmul execution path: 'auto' (Pallas on TPU in the decode
+    # regime) | 'pallas' | 'xla'. Set 'xla' for TENSOR-PARALLEL quantized
+    # targets: GSPMD cannot partition the Pallas custom call, so a sharded
+    # qweight would be force-replicated (docs/MULTIHOST.md).
+    gptq_path: str = "auto"
 
     @property
     def is_moe(self) -> bool:

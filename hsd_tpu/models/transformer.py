@@ -163,10 +163,12 @@ def _moe_ffn(cfg: ModelConfig, lp: Dict[str, Any], h: jax.Array) -> jax.Array:
                       * top_w[..., None], axis=1)
     # vmap over the expert axis works for dense arrays and QuantizedLinear
     # pytrees alike (each leaf carries the [E] leading axis)
-    g = jax.vmap(lambda w: apply_linear(w, x))(lp["wgate"])   # [E, N, F]
-    u = jax.vmap(lambda w: apply_linear(w, x))(lp["wup"])
-    act = jax.nn.silu(g) * u
-    out = jax.vmap(apply_linear)(lp["wdown"], act)            # [E, N, D]
+    pth = cfg.gptq_path
+    g = jax.vmap(lambda w: apply_linear(w, x, path=pth))(lp["wgate"])
+    u = jax.vmap(lambda w: apply_linear(w, x, path=pth))(lp["wup"])
+    act = jax.nn.silu(g) * u                                  # [E, N, F]
+    out = jax.vmap(lambda w, a: apply_linear(w, a, path=pth))(
+        lp["wdown"], act)                                     # [E, N, D]
     y = jnp.einsum("ne,end->nd", weights, out.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     return y.reshape(B, T, D).astype(h.dtype)
@@ -284,8 +286,9 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
 
         def lin(name, h, bias=None):
             if name in qnames:
-                return apply_linear(names[name], h, bias, layer=idx)
-            return apply_linear(lp[name], h, bias)
+                return apply_linear(names[name], h, bias, layer=idx,
+                                    path=cfg.gptq_path)
+            return apply_linear(lp[name], h, bias, path=cfg.gptq_path)
 
         x_in = x
         h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
@@ -347,7 +350,7 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         head = params.embed.T
     else:
         head = params.lm_head
-    logits = apply_linear(head, x).astype(jnp.float32)
+    logits = apply_linear(head, x, path=cfg.gptq_path).astype(jnp.float32)
     new_cache = cache._replace(k=k_new, v=v_new, length=cache.length + T)
     if feature_layers is not None:
         return logits, new_cache, feats

@@ -168,15 +168,16 @@ import os as _os
 GPTQ_PATH = _os.environ.get("HSD_TPU_GPTQ_PATH", "auto")
 
 
-def _use_pallas(x, w) -> bool:
-    if GPTQ_PATH == "xla":
+def _use_pallas(x, w, path: Optional[str] = None) -> bool:
+    path = path if path not in (None, "auto") else GPTQ_PATH
+    if path == "xla":
         return False
     try:
         from .gptq_pallas import pallas_supported
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         return False
-    if GPTQ_PATH == "pallas":
+    if path == "pallas":
         return pallas_supported(x, w)
     # auto, measured on v5e with forced-fetch timing (docs/BENCHMARKS.md):
     # the fused kernel wins at EVERY supported shape once the out-block is
@@ -192,17 +193,20 @@ def _use_pallas(x, w) -> bool:
 
 
 def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
-                 layer: Optional[jax.Array] = None) -> jax.Array:
+                 layer: Optional[jax.Array] = None,
+                 path: Optional[str] = None) -> jax.Array:
     """y = x @ w (+ b) for dense arrays or QuantizedLinear pytrees.
 
     layer: for a LAYER-STACKED QuantizedLinear (qweight [L, in, out]), select
     layer `layer` inside the Pallas kernel via scalar prefetch — the decode
     loop's lax.scan can then read quantized weights straight from the stacked
     HBM array instead of paying XLA's dynamic-slice materialization before
-    the custom call (3x weight traffic; see gptq_pallas.gptq_matmul)."""
+    the custom call (3x weight traffic; see gptq_pallas.gptq_matmul).
+    path: 'auto' | 'pallas' | 'xla' override (ModelConfig.gptq_path; TP
+    targets must use 'xla' — GSPMD cannot partition the custom call)."""
     if isinstance(w, QuantizedLinear):
         if layer is not None and w.qweight.ndim == 3:
-            if _use_pallas(x, w):
+            if _use_pallas(x, w, path):
                 from .gptq_pallas import gptq_matmul
                 y = gptq_matmul(x, w, layer_index=layer)
             else:
@@ -210,7 +214,7 @@ def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
                     lambda a: jax.lax.dynamic_index_in_dim(
                         a, layer, 0, keepdims=False), w)
                 y = _gptq_matmul_xla(x, sliced)
-        elif _use_pallas(x, w):
+        elif _use_pallas(x, w, path):
             from .gptq_pallas import gptq_matmul
             y = gptq_matmul(x, w)
         else:

@@ -96,11 +96,18 @@ def main():
             cfg_d, params_d, cfg_t, params_t)
 
     if args.tp > 1:
+        import dataclasses
+
         from hsd_tpu.parallel import make_mesh, replicate, shard_params
         mesh = make_mesh(data=1, model=args.tp)
         jax.set_mesh(mesh)
         params_t = shard_params(params_t, mesh)
         params_d = replicate(params_d, mesh)
+        if args.target_bits:
+            # GSPMD cannot partition the Pallas custom call: a TP-sharded
+            # quantized target must run the XLA path (the replicated draft
+            # keeps the Pallas kernel via its own config)
+            cfg_t = dataclasses.replace(cfg_t, gptq_path="xla")
 
     if args.tokenizer_path:
         from transformers import AutoTokenizer

@@ -134,7 +134,8 @@ def fuse_params(cfg: ModelConfig, params: ModelParams) -> ModelParams:
     return params._replace(layers=L)
 
 
-def _moe_ffn(cfg: ModelConfig, lp: Dict[str, Any], h: jax.Array) -> jax.Array:
+def _moe_ffn(cfg: ModelConfig, lp: Dict[str, Any], h: jax.Array,
+             tp_axis: Optional[str] = None) -> jax.Array:
     """Sparse-MoE SwiGLU block (Mixtral family). h: [B, T, D] -> [B, T, D].
 
     TPU-first formulation of the reference's MixtralSparseMoeBlock
@@ -161,6 +162,14 @@ def _moe_ffn(cfg: ModelConfig, lp: Dict[str, Any], h: jax.Array) -> jax.Array:
     # [N, E] dense routing weights, zero for unselected experts
     weights = jnp.sum(jax.nn.one_hot(top_i, E, dtype=jnp.float32)
                       * top_w[..., None], axis=1)
+    if tp_axis is not None:
+        # expert parallelism inside shard_map: this shard holds experts
+        # [off, off + E_local); the router (replicated gate) scored ALL
+        # experts, so slice our columns and psum the expert sum below
+        E_local = (lp["wgate"].qweight if hasattr(lp["wgate"], "qweight")
+                   else lp["wgate"]).shape[0]
+        off = jax.lax.axis_index(tp_axis) * E_local
+        weights = jax.lax.dynamic_slice_in_dim(weights, off, E_local, axis=1)
     # vmap over the expert axis works for dense arrays and QuantizedLinear
     # pytrees alike (each leaf carries the [E] leading axis)
     pth = cfg.gptq_path
@@ -171,6 +180,8 @@ def _moe_ffn(cfg: ModelConfig, lp: Dict[str, Any], h: jax.Array) -> jax.Array:
         lp["wdown"], act)                                     # [E, N, D]
     y = jnp.einsum("ne,end->nd", weights, out.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
+    if tp_axis is not None:
+        y = jax.lax.psum(y, tp_axis)
     return y.reshape(B, T, D).astype(h.dtype)
 
 
@@ -236,7 +247,8 @@ def _attention(q, k, v, q_index, kv_length, start, attn_bias):
 def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
             cache: KVCache, attn_bias: Optional[jax.Array] = None,
             positions: Optional[jax.Array] = None,
-            feature_layers: Optional[Tuple[int, ...]] = None):
+            feature_layers: Optional[Tuple[int, ...]] = None,
+            tp_axis: Optional[str] = None):
     """Run the decoder over `tokens` [B, T] appending to `cache`.
 
     Returns (logits [B, T, V] float32, updated cache with length += T).
@@ -244,9 +256,23 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
     the concatenated INPUTS of those layers [B, T, len*D] — the EAGLE-3
     feature stream (the reference taps layers {2, L//2, L-3},
     modeling_llama_kv.py:1138).
+
+    tp_axis: set when running INSIDE a shard_map over that mesh axis
+    (parallel.tp.make_tp_forward): weights/KV arrive as LOCAL Megatron
+    shards (heads / ffn / experts / vocab split), activations replicated;
+    this function then psums the row-sharded matmuls (o_proj, down_proj,
+    MoE expert sum) explicitly. This is how the Pallas kernels run under
+    tensor parallelism — GSPMD cannot partition the custom call.
     """
     B, T = tokens.shape
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
+    if tp_axis is not None:
+        tp = jax.lax.axis_size(tp_axis)
+        assert H % tp == 0 and Hkv % tp == 0, (H, Hkv, tp)
+        H, Hkv = H // tp, Hkv // tp
+
+    def reduce_tp(y):
+        return jax.lax.psum(y, tp_axis) if tp_axis is not None else y
     q_index = cache.length + jnp.arange(T)[None, :].astype(jnp.int32)
     q_index = jnp.broadcast_to(q_index, (B, T))
     if positions is None:
@@ -313,11 +339,12 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         v_buf = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
         att = _attention(q, k_buf, v_buf, q_index, cache.length, cache.start,
                          attn_bias)
-        x = x + lin("wo", att.reshape(B, T, H * hd))
+        x = x + reduce_tp(lin("wo", att.reshape(B, T, H * hd)))
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
         if "gate" in names:
-            x = x + _moe_ffn(cfg, lp, h)
+            x = x + _moe_ffn(cfg, lp, h, tp_axis=tp_axis)
         elif "wgu" in names:
+            assert tp_axis is None, "TP runs keep the unfused layout"
             wdown = names["wdown"]
             F = wdown.din if isinstance(wdown, QuantizedLinear) \
                 else wdown.shape[-2]  # logical in-dim (packed int4 aware)
@@ -326,7 +353,7 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
             x = x + lin("wdown", ff)
         else:
             ff = jax.nn.silu(lin("wgate", h)) * lin("wup", h)
-            x = x + lin("wdown", ff)
+            x = x + reduce_tp(lin("wdown", ff))
         if collect_inputs:
             return (x, k_all, v_all), x_in
         return (x, k_all, v_all), None

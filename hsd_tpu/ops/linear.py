@@ -205,10 +205,12 @@ def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
     path: 'auto' | 'pallas' | 'xla' override (ModelConfig.gptq_path; TP
     targets must use 'xla' — GSPMD cannot partition the custom call)."""
     if isinstance(w, QuantizedLinear):
+        # interpret-mode keeps forced-pallas testable on the CPU mesh
+        interp = jax.default_backend() != "tpu"
         if layer is not None and w.qweight.ndim == 3:
             if _use_pallas(x, w, path):
                 from .gptq_pallas import gptq_matmul
-                y = gptq_matmul(x, w, layer_index=layer)
+                y = gptq_matmul(x, w, layer_index=layer, interpret=interp)
             else:
                 sliced = jax.tree.map(
                     lambda a: jax.lax.dynamic_index_in_dim(
@@ -216,7 +218,7 @@ def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
                 y = _gptq_matmul_xla(x, sliced)
         elif _use_pallas(x, w, path):
             from .gptq_pallas import gptq_matmul
-            y = gptq_matmul(x, w)
+            y = gptq_matmul(x, w, interpret=interp)
         else:
             y = _gptq_matmul_xla(x, w)
     else:

@@ -133,7 +133,8 @@ def _draft_block_striped(cfg: ModelConfig, params, cache: KVCache, last2,
 
 
 def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
-                  engine: EngineConfig, collect_telemetry: bool = False):
+                  engine: EngineConfig, collect_telemetry: bool = False,
+                  target_forward=None):
     """Build a jitted speculative
     `generate(params_draft, params_target, prompt, prompt_len, key)`.
 
@@ -142,6 +143,10 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
     Returns GenerateResult (device arrays; one host sync to read them).
     collect_telemetry: also record per-block step_back_probs / p_i / q_i
     (the reference's return_probs channel).
+    target_forward: optional `(params, tokens, cache) -> (logits, cache)`
+    override for the target model — e.g. `parallel.tp.make_tp_target_forward`
+    to run the target on local Megatron shards (Pallas kernels) inside one
+    shard_map while the rest of the loop stays GSPMD.
     """
     v = engine.verifier
     gamma, K = v.gamma, v.num_drafts
@@ -152,6 +157,8 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
     max_new = engine.max_new_tokens
     max_blocks = max_new  # each block commits >= 1 token
     eos = cfg_target.eos_token_id
+    tfwd = target_forward or (lambda p, t, c: transformer.forward(
+        cfg_target, p, t, c))
 
     def generate(params_draft, params_target, prompt: jax.Array,
                  prompt_len: jax.Array, key: jax.Array) -> GenerateResult:
@@ -169,8 +176,7 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
         prompt_k = jnp.broadcast_to(prompt[None, :], (R, P))
         _, dcache = transformer.forward(cfg_draft, params_draft,
                                         prompt_k[:, :-2], dcache)
-        _, tcache = transformer.forward(cfg_target, params_target,
-                                        prompt_k[:, :-1], tcache)
+        _, tcache = tfwd(params_target, prompt_k[:, :-1], tcache)
 
         tokens = jnp.zeros((S,), jnp.int32).at[:P].set(prompt)
         accepts = jnp.full((max_blocks,), -1, jnp.int32)
@@ -203,8 +209,7 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
             tgt_in = jnp.concatenate(
                 [jnp.broadcast_to(last, (R, 1)).astype(jnp.int32), draft_toks],
                 axis=1)                                        # [R, gamma+1]
-            tlogits, tcache = transformer.forward(
-                cfg_target, params_target, tgt_in, tcache)
+            tlogits, tcache = tfwd(params_target, tgt_in, tcache)
             p = temp(tlogits)                                  # [R, gamma+1, V]
 
             if collect_telemetry and method in ("tokenwise", "hsd", "hsd_ref"):

@@ -83,6 +83,26 @@ def shard_params_tp(params: ModelParams, mesh: Mesh) -> ModelParams:
                         is_leaf=lambda x: x is None)
 
 
+def make_tp_target_forward(cfg: ModelConfig, params: ModelParams):
+    """Non-jitted shard_map target forward `(params, tokens, cache) ->
+    (logits, cache)` for plugging into the speculative engine
+    (`engine.make_generate(..., target_forward=...)`): the engine's while
+    loop stays one jit, and inside it the target runs on local Megatron
+    shards with Pallas kernels. Logits return vocab-sharded; the verifier's
+    gathers happen under GSPMD."""
+    assert params.lm_head is not None, \
+        "shard_map TP requires an untied lm_head (vocab shards)"
+    assert "wqkv" not in params.layers, "TP runs keep the unfused layout"
+    pspecs = tp_param_specs(params)
+    cspecs = cache_specs()
+    return jax.shard_map(
+        lambda p, t, c: transformer.forward(cfg, p, t, c,
+                                            tp_axis=MODEL_AXIS),
+        in_specs=(pspecs, P(), cspecs),
+        out_specs=(P(None, None, MODEL_AXIS), cspecs),
+        check_vma=False)
+
+
 def make_tp_forward(cfg: ModelConfig, params: ModelParams,
                     feature_layers: Optional[Tuple[int, ...]] = None,
                     with_bias: bool = False):

@@ -109,3 +109,55 @@ def test_tp_moe_expert_parallel_matches_single(mesh):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_tp_speculative_generate_greedy_equals_ar(mesh):
+    """Full speculative decode with the TP shard_map target (local Pallas
+    kernels) inside the engine's while loop: greedy speculative output must
+    equal the plain single-device greedy AR chain."""
+    from hsd_tpu.config import EngineConfig, VerifierConfig
+    from hsd_tpu.engine import make_autoregressive, make_generate
+    from hsd_tpu.parallel.tp import make_tp_target_forward
+
+    params_t = _quantize_params(CFG, init_params(CFG, jax.random.PRNGKey(3)))
+    draft_cfg = ModelConfig.tiny(vocab_size=512)
+    params_d = init_params(draft_cfg, jax.random.PRNGKey(4))
+    eng = EngineConfig(verifier=VerifierConfig(method="greedy", gamma=3),
+                       max_new_tokens=8, temperature=0.0)
+    prompt = (jnp.arange(8, dtype=jnp.int32) % 400) + 1
+    with jax.set_mesh(mesh):
+        sp = shard_params_tp(params_t, mesh)
+        gen = make_generate(draft_cfg, CFG, eng,
+                            target_forward=make_tp_target_forward(CFG,
+                                                                  params_t))
+        res = gen(params_d, sp, prompt, jnp.int32(8), jax.random.PRNGKey(5))
+    t_ar, l_ar = make_autoregressive(CFG, eng)(params_t, prompt, jnp.int32(8),
+                                               jax.random.PRNGKey(6))
+    n = min(int(res.length), int(l_ar))
+    assert n > 8
+    np.testing.assert_array_equal(np.asarray(res.tokens)[8:n],
+                                  np.asarray(t_ar)[8:n])
+
+
+def test_tp_speculative_generate_hsd_deterministic(mesh):
+    """HSD sampling through the TP target is deterministic under a fixed
+    key and commits the full budget or stops at EOS."""
+    from hsd_tpu.config import EngineConfig, VerifierConfig
+    from hsd_tpu.engine import make_generate
+    from hsd_tpu.parallel.tp import make_tp_target_forward
+
+    params_t = _quantize_params(CFG, init_params(CFG, jax.random.PRNGKey(7)))
+    draft_cfg = ModelConfig.tiny(vocab_size=512)
+    params_d = init_params(draft_cfg, jax.random.PRNGKey(8))
+    eng = EngineConfig(verifier=VerifierConfig(method="hsd", gamma=3),
+                       max_new_tokens=8)
+    prompt = (jnp.arange(8, dtype=jnp.int32) % 400) + 1
+    with jax.set_mesh(mesh):
+        sp = shard_params_tp(params_t, mesh)
+        gen = make_generate(draft_cfg, CFG, eng,
+                            target_forward=make_tp_target_forward(CFG,
+                                                                  params_t))
+        r1 = gen(params_d, sp, prompt, jnp.int32(8), jax.random.PRNGKey(9))
+        r2 = gen(params_d, sp, prompt, jnp.int32(8), jax.random.PRNGKey(9))
+    assert int(r1.ncommit) >= 1
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))

@@ -84,11 +84,12 @@ class EvalConfig:
 
 def run_eval(cfg_draft: ModelConfig, cfg_target: ModelConfig, params_draft,
              params_target, tokenizer, questions: List[dict],
-             shots_text: str, ev: EvalConfig) -> dict:
+             shots_text: str, ev: EvalConfig, target_forward=None) -> dict:
     """Evaluate; returns summary metrics and writes artifacts.
 
     tokenizer: object with .encode(str)->List[int] and .decode(List[int])->str
     (an HF tokenizer works as-is).
+    target_forward: optional engine override (parallel.tp shard_map path).
     """
     os.makedirs(ev.out_dir, exist_ok=True)
     gens = {}
@@ -102,7 +103,8 @@ def run_eval(cfg_draft: ModelConfig, cfg_target: ModelConfig, params_draft,
         padded, n = bucket_pad(ids)
         bucket = padded.shape[0]
         if bucket not in gens:
-            gens[bucket] = make_generate(cfg_draft, cfg_target, ev.engine)
+            gens[bucket] = make_generate(cfg_draft, cfg_target, ev.engine,
+                                         target_forward=target_forward)
         gen = gens[bucket]
         t0 = time.perf_counter()
         res = gen(params_draft, params_target, jnp.asarray(padded),

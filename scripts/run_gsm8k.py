@@ -66,6 +66,12 @@ def main():
                          "process launcher works: one process per shard)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel size (model mesh axis)")
+    ap.add_argument("--tp-mode", default="gspmd",
+                    choices=["gspmd", "shardmap"],
+                    help="gspmd: shard_params + jit (quantized targets fall "
+                         "back to the XLA matmul); shardmap: local Megatron "
+                         "shards running the Pallas kernels with explicit "
+                         "psums (parallel/tp.py; requires an untied head)")
     args = ap.parse_args()
 
     from hsd_tpu.config import EngineConfig, ModelConfig, VerifierConfig
@@ -95,19 +101,26 @@ def main():
         cfg_d, params_d, cfg_t, params_t = align_vocab(
             cfg_d, params_d, cfg_t, params_t)
 
+    target_forward = None
     if args.tp > 1:
         import dataclasses
 
         from hsd_tpu.parallel import make_mesh, replicate, shard_params
         mesh = make_mesh(data=1, model=args.tp)
         jax.set_mesh(mesh)
-        params_t = shard_params(params_t, mesh)
         params_d = replicate(params_d, mesh)
-        if args.target_bits:
-            # GSPMD cannot partition the Pallas custom call: a TP-sharded
-            # quantized target must run the XLA path (the replicated draft
-            # keeps the Pallas kernel via its own config)
-            cfg_t = dataclasses.replace(cfg_t, gptq_path="xla")
+        if args.tp_mode == "shardmap":
+            from hsd_tpu.parallel.tp import (make_tp_target_forward,
+                                             shard_params_tp)
+            target_forward = make_tp_target_forward(cfg_t, params_t)
+            params_t = shard_params_tp(params_t, mesh)
+        else:
+            params_t = shard_params(params_t, mesh)
+            if args.target_bits:
+                # GSPMD cannot partition the Pallas custom call: a TP-sharded
+                # quantized target must run the XLA path (the replicated
+                # draft keeps the Pallas kernel via its own config)
+                cfg_t = dataclasses.replace(cfg_t, gptq_path="xla")
 
     if args.tokenizer_path:
         from transformers import AutoTokenizer
@@ -132,7 +145,8 @@ def main():
             max_new_tokens=args.max_new_tokens,
             temperature=args.temperature),
         out_dir=args.out_dir, tag=args.tag)
-    summary = run_eval(cfg_d, cfg_t, params_d, params_t, tok, qs, shots, ev)
+    summary = run_eval(cfg_d, cfg_t, params_d, params_t, tok, qs, shots, ev,
+                       target_forward=target_forward)
     print(json.dumps(summary, indent=2, default=str))
 
 

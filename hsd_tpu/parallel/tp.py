@@ -28,17 +28,14 @@ weight bytes.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig
-from ..engine.kvcache import KVCache
 from ..models import transformer
 from ..models.transformer import ModelParams, QuantizedEmbedding
-from ..ops.linear import QuantizedLinear
 from .mesh import MODEL_AXIS
 from .sharding import _is_expert_stacked, _linear_spec, cache_specs
 

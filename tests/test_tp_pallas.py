@@ -161,3 +161,29 @@ def test_tp_speculative_generate_hsd_deterministic(mesh):
         r2 = gen(params_d, sp, prompt, jnp.int32(8), jax.random.PRNGKey(9))
     assert int(r1.ncommit) >= 1
     np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+
+
+def test_tp_speculative_multidraft(mesh):
+    """K=4 parallel multidraft through the TP target: the target forward
+    sees R=4 replicated rows; row-select rollback composes with the
+    kv-head-sharded cache."""
+    from hsd_tpu.config import EngineConfig, VerifierConfig
+    from hsd_tpu.engine import make_generate
+    from hsd_tpu.parallel.tp import make_tp_target_forward
+
+    params_t = _quantize_params(CFG, init_params(CFG, jax.random.PRNGKey(10)))
+    draft_cfg = ModelConfig.tiny(vocab_size=512)
+    params_d = init_params(draft_cfg, jax.random.PRNGKey(11))
+    eng = EngineConfig(verifier=VerifierConfig(method="hsd", gamma=3,
+                                               num_drafts=4),
+                       max_new_tokens=8)
+    prompt = (jnp.arange(8, dtype=jnp.int32) % 400) + 1
+    with jax.set_mesh(mesh):
+        sp = shard_params_tp(params_t, mesh)
+        gen = make_generate(draft_cfg, CFG, eng,
+                            target_forward=make_tp_target_forward(CFG,
+                                                                  params_t))
+        res = gen(params_d, sp, prompt, jnp.int32(8), jax.random.PRNGKey(12))
+    assert int(res.ncommit) >= 1
+    toks = np.asarray(res.tokens)[8:8 + int(res.ncommit)]
+    assert ((toks >= 0) & (toks < 512)).all()

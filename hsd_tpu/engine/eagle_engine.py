@@ -77,9 +77,16 @@ def autotune_total_tokens(cfg_t: ModelConfig, ecfg: EagleConfig,
 
 
 def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
-                        engine: EngineConfig, mode: str = "hsd"):
+                        engine: EngineConfig, mode: str = "hsd",
+                        target_forward=None):
     """Build jitted `generate(params_target, eagle_params, prompt, prompt_len,
-    key)` for mode in {'greedy', 'typical', 'hsd'}."""
+    key)` for mode in {'greedy', 'typical', 'hsd'}.
+
+    target_forward: optional `(params, tokens, cache, attn_bias, positions)
+    -> (logits, cache, feats)` override — e.g.
+    `parallel.tp.make_tp_eagle_forward(cfg_t, params_t, feature_layers)` to
+    run the base model on local Megatron shards (Pallas kernels) while the
+    draft head stays replicated."""
     N = ecfg.total_tokens
     depth = ecfg.depth
     Lpath = depth + 2
@@ -95,6 +102,10 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
         Dt3 = 3 * cfg_t.hidden_size
 
     assert mode in ("greedy", "typical", "hsd", "hsd_ref"), mode
+    tfwd = target_forward or (
+        lambda p, t, c, ab, pos: transformer.forward(
+            cfg_t, p, t, c, attn_bias=ab, positions=pos,
+            feature_layers=feat_layers))
 
     def generate(params_t, params_e: EagleParams, prompt: jax.Array,
                  prompt_len: jax.Array, key: jax.Array) -> EagleGenerateResult:
@@ -107,9 +118,13 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
         ekv = ekv._replace(start=start[0])
 
         # ---- prefill target over the prompt; collect features -------------
-        logits, tcache, feats = transformer.forward(
-            cfg_t, params_t, prompt[None, :], tcache,
-            feature_layers=feat_layers)
+        # zero bias + explicit positions keep the override signature uniform
+        # (a zero additive bias on the appended block is the identity)
+        pos0 = jnp.maximum(jnp.arange(P, dtype=jnp.int32)[None, :]
+                           - start[:, None], 0)
+        logits, tcache, feats = tfwd(
+            params_t, prompt[None, :], tcache,
+            jnp.zeros((P, P), jnp.float32), pos0)
         feat_buf = jnp.zeros((S, Dt3), ecfg.dtype).at[:P].set(
             feats[0].astype(ecfg.dtype))
         key, k0 = jax.random.split(key)
@@ -171,9 +186,8 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
             bias = jnp.where(trie.tree_mask, 0.0, -1e30).astype(jnp.float32)
             base = tcache.length
             pos = (trie.position_ids + length - 1 - tcache.start[0])[None, :]
-            tlogits, tcache, tfeats = transformer.forward(
-                cfg_t, params_t, trie.draft_tokens[None], tcache,
-                attn_bias=bias, positions=pos, feature_layers=feat_layers)
+            tlogits, tcache, tfeats = tfwd(
+                params_t, trie.draft_tokens[None], tcache, bias, pos)
             probs = temp(tlogits[0])          # [N+1, V]
 
             # 3) per-path probability rows + verification

@@ -100,6 +100,29 @@ def make_tp_target_forward(cfg: ModelConfig, params: ModelParams):
         check_vma=False)
 
 
+def make_tp_eagle_forward(cfg: ModelConfig, params: ModelParams,
+                          feature_layers: Tuple[int, ...]):
+    """Non-jitted shard_map target forward for the EAGLE engine:
+    `(params, tokens, cache, attn_bias, positions) -> (logits, cache,
+    feats)` — tree-attention bias and explicit RoPE positions ride
+    replicated; the feature stream returns replicated (it feeds the
+    replicated draft head). Plug into
+    `engine.eagle_engine.make_eagle_generate(..., target_forward=...)`."""
+    assert params.lm_head is not None, \
+        "shard_map TP requires an untied lm_head (vocab shards)"
+    assert "wqkv" not in params.layers, "TP runs keep the unfused layout"
+    pspecs = tp_param_specs(params)
+    cspecs = cache_specs()
+    rep = P()
+    return jax.shard_map(
+        lambda p, t, c, ab, pos: transformer.forward(
+            cfg, p, t, c, attn_bias=ab, positions=pos,
+            feature_layers=feature_layers, tp_axis=MODEL_AXIS),
+        in_specs=(pspecs, rep, cspecs, rep, rep),
+        out_specs=(P(None, None, MODEL_AXIS), cspecs, rep),
+        check_vma=False)
+
+
 def make_tp_forward(cfg: ModelConfig, params: ModelParams,
                     feature_layers: Optional[Tuple[int, ...]] = None,
                     with_bias: bool = False):

@@ -187,3 +187,44 @@ def test_tp_speculative_multidraft(mesh):
     assert int(res.ncommit) >= 1
     toks = np.asarray(res.tokens)[8:8 + int(res.ncommit)]
     assert ((toks >= 0) & (toks < 512)).all()
+
+
+def test_tp_eagle_greedy_equals_ar(mesh):
+    """EAGLE trie decoding with the TP shard_map base model: greedy must
+    reproduce the single-device greedy AR chain (trie build on the
+    replicated head, tree-masked TP forward, KV compaction on local
+    kv-head shards)."""
+    from hsd_tpu.config import EngineConfig
+    from hsd_tpu.engine import make_autoregressive
+    from hsd_tpu.engine.eagle_engine import (default_feature_layers,
+                                             make_eagle_generate)
+    from hsd_tpu.models.eagle import EagleConfig, init_eagle_params
+    from hsd_tpu.parallel.tp import make_tp_eagle_forward
+
+    tcfg = dataclasses.replace(
+        ModelConfig.tiny(vocab_size=512, num_heads=8, num_kv_heads=4,
+                         hidden_size=512, intermediate_size=512,
+                         num_layers=4),
+        tie_word_embeddings=False, attention_bias=False)
+    ecfg = EagleConfig(hidden_size=64, target_hidden_size=512, num_heads=4,
+                       num_kv_heads=2, vocab_size=512, draft_vocab_size=512,
+                       intermediate_size=64, top_k=4, depth=3,
+                       total_tokens=11, dtype=jnp.float32,
+                       rope_theta=10000.0)
+    pt = init_params(tcfg, jax.random.PRNGKey(0))
+    pe = init_eagle_params(ecfg, jax.random.PRNGKey(1))
+    prompt = (jnp.arange(8, dtype=jnp.int32) % 400) + 1
+    eng = EngineConfig(max_new_tokens=8, temperature=0.0)
+    with jax.set_mesh(mesh):
+        sp = shard_params_tp(pt, mesh)
+        gen = make_eagle_generate(
+            tcfg, ecfg, eng, mode="greedy",
+            target_forward=make_tp_eagle_forward(
+                tcfg, pt, default_feature_layers(tcfg)))
+        res = gen(sp, pe, prompt, jnp.int32(8), jax.random.PRNGKey(5))
+    t_ar, l_ar = make_autoregressive(tcfg, eng)(pt, prompt, jnp.int32(8),
+                                                jax.random.PRNGKey(6))
+    n = min(int(res.length), int(l_ar))
+    assert n > 8
+    np.testing.assert_array_equal(np.asarray(res.tokens)[8:n],
+                                  np.asarray(t_ar)[8:n])

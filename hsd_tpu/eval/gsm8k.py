@@ -114,11 +114,26 @@ def run_eval(cfg_draft: ModelConfig, cfg_target: ModelConfig, params_draft,
         out_ids = np.asarray(res.tokens)[bucket:int(res.length)].tolist()
         text = tokenizer.decode(out_ids)
         nblocks = int(res.blocks)
+        accepts_l = np.asarray(res.accepts)[:nblocks].tolist()
+        dlens_l = np.asarray(res.draft_lens)[:nblocks].tolist()
         counts.append({
-            "accepts": np.asarray(res.accepts)[:nblocks].tolist(),
-            "draft_lens": np.asarray(res.draft_lens)[:nblocks].tolist(),
+            "accepts": accepts_l,
+            "draft_lens": dlens_l,
             "time_s": dt,
             "new_tokens": int(res.ncommit),
+            # reference-named aliases (nested one generation call deep) so
+            # the reference's compute_speculative_stats.py consumes this
+            # artifact directly (ref keys at utils.py:4644-4647; consumption
+            # at compute_speculative_stats.py:78-99): draft_eval = drafted
+            # tokens per step, sample_length = committed per step
+            # (accepted + 1), target_eval = committed (the accepted draft
+            # prefix + bonus scored by the one target forward),
+            # total_step = 1 target forward per block in clever mode.
+            "draft_eval": [dlens_l],
+            "sample_length": [[a + 1 for a in accepts_l]],
+            "target_eval": [[a + 1 for a in accepts_l]],
+            "total_step": [[1] * nblocks],
+            "time": [dt],
         })
         answers.append((row["question"], text, row["answer"]))
 

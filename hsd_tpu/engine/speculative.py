@@ -134,7 +134,7 @@ def _draft_block_striped(cfg: ModelConfig, params, cache: KVCache, last2,
 
 def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
                   engine: EngineConfig, collect_telemetry: bool = False,
-                  target_forward=None):
+                  target_forward=None, target_cache_ops=None):
     """Build a jitted speculative
     `generate(params_draft, params_target, prompt, prompt_len, key)`.
 
@@ -147,6 +147,13 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
     override for the target model — e.g. `parallel.tp.make_tp_target_forward`
     to run the target on local Megatron shards (Pallas kernels) inside one
     shard_map while the rest of the loop stays GSPMD.
+    target_cache_ops: optional `(init, rollback, select)` triple overriding
+    the target-side cache protocol, for targets whose state is not a single
+    KVCache (e.g. the coupled synthetic target in eval/synthetic.py, or a
+    future sliding-window cache). Signatures:
+        init(batch, max_len, start) -> cache
+        rollback(cache, new_length) -> cache       (O(1) truncate)
+        select(cache, row) -> cache                (multidraft row-select)
     """
     v = engine.verifier
     gamma, K = v.gamma, v.num_drafts
@@ -159,6 +166,12 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
     eos = cfg_target.eos_token_id
     tfwd = target_forward or (lambda p, t, c: transformer.forward(
         cfg_target, p, t, c))
+    if target_cache_ops is None:
+        t_init = lambda batch, max_len, start: init_cache(
+            cfg_target, batch, max_len)._replace(start=start)
+        t_rollback, t_select = rollback, select_draft_row
+    else:
+        t_init, t_rollback, t_select = target_cache_ops
 
     def generate(params_draft, params_target, prompt: jax.Array,
                  prompt_len: jax.Array, key: jax.Array) -> GenerateResult:
@@ -166,7 +179,7 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
         S = P + max_new + gamma + 2
         start = jnp.broadcast_to(P - prompt_len, (R,)).astype(jnp.int32)
         dcache = init_cache(cfg_draft, R, S)._replace(start=start)
-        tcache = init_cache(cfg_target, R, S)._replace(start=start)
+        tcache = t_init(R, S, start)
 
         # --- prefill ---------------------------------------------------
         # Cache invariants between blocks: target holds committed-1 positions
@@ -237,10 +250,10 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
             # new_length-2 (see _draft_block); select the winning draft row
             # for multidraft
             dcache = rollback(dcache, new_length - 2)
-            tcache = rollback(tcache, new_length - 1)
+            tcache = t_rollback(tcache, new_length - 1)
             if R > 1:
                 dcache = select_draft_row(dcache, res.draft_index)
-                tcache = select_draft_row(tcache, res.draft_index)
+                tcache = t_select(tcache, res.draft_index)
 
             accepts = accepts.at[blocks].set(res.n_matches)
             dlens = dlens.at[blocks].set(gamma)
@@ -281,20 +294,28 @@ def make_generate_batched(cfg_draft: ModelConfig, cfg_target: ModelConfig,
     return jax.jit(jax.vmap(gen, in_axes=(None, None, 0, 0, 0)))
 
 
-def make_autoregressive(cfg: ModelConfig, engine: EngineConfig):
+def make_autoregressive(cfg: ModelConfig, engine: EngineConfig,
+                        model_forward=None, cache_init=None):
     """Plain AR sampling baseline (the reference's `_sample` /
-    `naivegenerate`, ea_model.py:368-462) — the decoding-speed denominator."""
+    `naivegenerate`, ea_model.py:368-462) — the decoding-speed denominator.
+
+    model_forward / cache_init: same override protocol as make_generate's
+    target_forward / target_cache_ops[0], so the AR denominator can run the
+    exact same (possibly composite) target as the speculative path."""
     temp = processor(engine.temperature, engine.top_k, engine.top_p)
     max_new = engine.max_new_tokens
     eos = cfg.eos_token_id
+    fwd = model_forward or (lambda p, t, c: transformer.forward(cfg, p, t, c))
+    cinit = cache_init or (lambda batch, max_len, start: init_cache(
+        cfg, batch, max_len)._replace(start=start))
 
     def generate(params, prompt: jax.Array, prompt_len: jax.Array,
                  key: jax.Array):
         P = prompt.shape[0]
         S = P + max_new + 1
-        cache = init_cache(cfg, 1, S)._replace(
-            start=jnp.broadcast_to(P - prompt_len, (1,)).astype(jnp.int32))
-        _, cache = transformer.forward(cfg, params, prompt[None, :-1], cache)
+        cache = cinit(
+            1, S, jnp.broadcast_to(P - prompt_len, (1,)).astype(jnp.int32))
+        _, cache = fwd(params, prompt[None, :-1], cache)
         tokens = jnp.zeros((S,), jnp.int32).at[:P].set(prompt)
 
         def cond(state):
@@ -304,8 +325,7 @@ def make_autoregressive(cfg: ModelConfig, engine: EngineConfig):
         def body(state):
             tokens, length, done, cache, key = state
             key, ks = jax.random.split(key)
-            logits, cache = transformer.forward(
-                cfg, params, tokens[length - 1][None, None], cache)
+            logits, cache = fwd(params, tokens[length - 1][None, None], cache)
             probs = temp(logits[0, 0])
             nxt = sample(ks, probs).astype(jnp.int32)
             tokens = tokens.at[length].set(nxt)

@@ -249,12 +249,12 @@ def make_recursive_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
         dlens = jnp.full((max_blocks,), -1, jnp.int32)
 
         def inner_cond(st):
-            (_, _, done_i, _, _, _, hist, _, _, _, _) = st
+            (_, _, done_i, _, _, _, hist, _, _, _, _, _) = st
             return (~done_i) & (hist < gamma)
 
         def inner_body(st):
             (tokens, length, done_i, dcache, tcache, key, hist, cand, qbuf,
-             pbuf, acc_drafted) = st
+             pbuf, acc_drafted, drafted_acc) = st
             key, kd, kv = jax.random.split(key, 3)
             L = gamma - hist
             # re-draft the remaining budget onto the committed trajectory
@@ -279,24 +279,33 @@ def make_recursive_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
             j1 = jnp.clip(pos1 - hist, 0, gamma)
             pbuf2 = jnp.where((pos1 >= hist)[:, None], p_fwd[j1], pbuf)
 
-            out, n_commit, full = recursive_round(kv, cand2, qbuf2, pbuf2,
-                                                  hist, jnp.int32(gamma))
+            out, n_commit, full, resid = recursive_round(
+                kv, cand2, qbuf2, pbuf2, hist, jnp.int32(gamma))
             posn = jnp.arange(S)
             src = jnp.take(out, jnp.clip(posn - length, 0, gamma))
             write = (posn >= length) & (posn < length + n_commit)
             tokens = jnp.where(write, src, tokens)
             length2 = length + n_commit
-            # record the resampled token in the trajectory (its q/p rows at
-            # that position are already in the buffers)
+            # record the resampled token in the trajectory (its q row at
+            # that position is already in the buffer)
             res_pos = jnp.clip(hist + n_commit - 1, 0, gamma - 1)
             t_last = out[jnp.clip(n_commit - 1, 0, gamma)]
             cand3 = jnp.where(full, cand2, cand2.at[res_pos].set(t_last))
+            # the recursion's p-row substitution ("treat p_prime as p_i",
+            # ref utils.py:5259-5277): the next round verifies the committed
+            # history against THIS round's residual measure, so overwrite the
+            # history p-rows [0, hist + n_commit) with the normalized
+            # residuals. q rows stay ("q_i stays the same").
+            hist2 = hist + n_commit
+            pbuf3 = jnp.where((jnp.arange(gamma + 1) < hist2)[:, None],
+                              jnp.concatenate([resid,
+                                               pbuf2[-1:]], axis=0), pbuf2)
             hit_eos = jnp.any(write & (tokens == eos))
             dcache3 = rollback(dcache2, length2 - 2)
             tcache3 = rollback(tcache2, length2 - 1)
             return (tokens, length2, hit_eos | full, dcache3, tcache3, key,
-                    hist + n_commit, cand3, qbuf2, pbuf2,
-                    acc_drafted + n_commit - 1)
+                    hist2, cand3, qbuf2, pbuf3,
+                    acc_drafted + n_commit - 1, drafted_acc + L)
 
         def cond(state):
             (_, length, done, _, _, _, _, _, blocks) = state
@@ -310,14 +319,19 @@ def make_recursive_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
             inner0 = (tokens, length, jnp.bool_(False), dcache, tcache, ki,
                       jnp.int32(0), jnp.zeros((gamma,), jnp.int32),
                       jnp.zeros((gamma, V), jnp.float32),
-                      jnp.zeros((gamma + 1, V), jnp.float32), jnp.int32(0))
+                      jnp.zeros((gamma + 1, V), jnp.float32), jnp.int32(0),
+                      jnp.int32(0))
             (tokens, new_length, _, dcache, tcache, _, _, _, _, _,
-             acc_drafted) = jax.lax.while_loop(inner_cond, inner_body, inner0)
+             acc_drafted, drafted_acc) = jax.lax.while_loop(
+                 inner_cond, inner_body, inner0)
             gen_pos = jnp.arange(S)
             done = done | jnp.any((tokens == eos) & (gen_pos >= P)
                                   & (gen_pos < new_length))
             accepts = accepts.at[blocks].set(acc_drafted)
-            dlens = dlens.at[blocks].set(gamma)
+            # real drafted count: a multi-round block drafts
+            # sum_r (gamma - hist_r) >= gamma tokens, so acceptance-rate
+            # telemetry (accepts / draft_lens) uses the true denominator
+            dlens = dlens.at[blocks].set(drafted_acc)
             return (tokens, new_length, done, dcache, tcache, key, accepts,
                     dlens, blocks + 1)
 

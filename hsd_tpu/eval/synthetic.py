@@ -1,0 +1,180 @@
+"""Synthetic draft/target model pairs for checkpoint-free benchmarking.
+
+The reference's headline numbers are a trained 0.5B draft speculating for
+trained 14B/32B/72B targets (ref: README.md:121-125,
+chain-of-thought-hub/gsm8k/eval_speculative_decoding_llm.py:37,63). With no
+network access there are no trained checkpoints, and two independently random
+models of different sizes agree at chance level — speculative decoding would
+measure nothing. This module provides the honest substitute: a **coupled
+target** whose per-token cost is the full big-geometry forward but whose
+output distribution is engineered to agree with the small draft at a
+calibrated rate.
+
+Construction:
+
+    q  = softmax(small_int8(x))                    # the draft (0.5B cost)
+    p  = softmax(small_bf16(x) + lam * zbig(x))    # the target (14B cost)
+
+where `small_int8` is the GPTQ-int8 quantization of the same small trunk
+(round-trip quantization error is the base divergence mechanism — exactly the
+reference's GPTQ setting) and `zbig` is the big model's per-position
+standardized logits (mean 0 / std 1 over the vocab axis, so `lam` is in
+logit-std units). `p` is a genuine fixed distribution over contexts: all
+losslessness properties of the verifiers apply unchanged, block efficiency
+emerges from real verification math on real sampled tokens, and every
+committed token requires the full big forward — so tok/s is measured at the
+true draft/target compute ratio.
+
+The coupled target keeps two KV caches (big + small trunk); the engine
+threads them through `make_generate(target_cache_ops=...)`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..engine.kvcache import KVCache, init_cache, rollback, select_draft_row
+from ..models import transformer
+from ..models.transformer import ModelParams, QuantizedEmbedding, fuse_params
+from ..ops.linear import QuantizedLinear, pack_int4, quantize
+
+
+class CoupledCache(NamedTuple):
+    big: KVCache
+    small: KVCache
+
+
+class CoupledParams(NamedTuple):
+    big: ModelParams
+    small: ModelParams
+    lam: jax.Array   # scalar f32 — weight of the standardized big logits
+
+
+def make_coupled_target(cfg_small: ModelConfig, cfg_big: ModelConfig):
+    """Return `(forward, cache_ops)` for the coupled target.
+
+    forward(params: CoupledParams, tokens, cache: CoupledCache)
+        -> (logits f32, cache)
+    cache_ops = (init, rollback, select) per make_generate's protocol.
+    """
+    assert cfg_small.vocab_size == cfg_big.vocab_size
+
+    def forward(params: CoupledParams, tokens, cache: CoupledCache):
+        big_logits, bigc = transformer.forward(
+            cfg_big, params.big, tokens, cache.big)
+        small_logits, smallc = transformer.forward(
+            cfg_small, params.small, tokens, cache.small)
+        mu = jnp.mean(big_logits, axis=-1, keepdims=True)
+        sd = jnp.std(big_logits, axis=-1, keepdims=True) + 1e-6
+        logits = small_logits + params.lam * (big_logits - mu) / sd
+        return logits, CoupledCache(big=bigc, small=smallc)
+
+    def init(batch, max_len, start):
+        return CoupledCache(
+            big=init_cache(cfg_big, batch, max_len)._replace(start=start),
+            small=init_cache(cfg_small, batch, max_len)._replace(start=start))
+
+    def rb(cache: CoupledCache, new_length):
+        return CoupledCache(big=rollback(cache.big, new_length),
+                            small=rollback(cache.small, new_length))
+
+    def sel(cache: CoupledCache, row):
+        return CoupledCache(big=select_draft_row(cache.big, row),
+                            small=select_draft_row(cache.small, row))
+
+    return forward, (init, rb, sel)
+
+
+def _gs(din: int) -> int:
+    """Quantization group size: 128 (the GPTQ default) when it divides the
+    in-features, else one group per matrix (tiny test geometries)."""
+    return 128 if din % 128 == 0 else din
+
+
+@functools.partial(jax.jit, static_argnames=("din", "dout", "layers", "bits"))
+def _init_q(key, din: int, dout: int, layers: int, bits: int = 4):
+    """Device-side random quantized weight stack [layers, ...] (symmetric,
+    group 128). Codes are generated per layer under lax.map so the PRNG's u32
+    intermediates never materialize at full [L, in, out] size."""
+    kc, ks = jax.random.split(key)
+    if bits == 4:
+        gen = lambda k: pack_int4(
+            jax.random.randint(k, (din, dout), -8, 8, jnp.int8))
+    else:
+        gen = lambda k: jax.random.randint(k, (din, dout), -127, 128, jnp.int8)
+    codes = jax.lax.map(gen, jax.random.split(kc, layers))
+    scales = (jnp.abs(jax.random.normal(ks, (layers, din // _gs(din), dout)))
+              * 1e-2 + 1e-3).astype(jnp.bfloat16)
+    return QuantizedLinear(qweight=codes, scales=scales, zeros=None)
+
+
+def init_quantized_params(cfg: ModelConfig, key: jax.Array,
+                          bits: int = 4) -> ModelParams:
+    """Random big-geometry model with quantized weights, built DIRECTLY in
+    the fused single-chip layout (wqkv / wgu) and fully-quantized embedding +
+    untied head: running fuse_params on a 14B model would hold original and
+    concatenated copies concurrently and bust HBM."""
+    D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
+    ks = jax.random.split(key, 8)
+    layers = dict(
+        ln1=jnp.ones((L, D), jnp.float32),
+        ln2=jnp.ones((L, D), jnp.float32),
+        wqkv=_init_q(ks[0], D, (H + 2 * Hkv) * hd, L, bits),
+        wo=_init_q(ks[1], H * hd, D, L, bits),
+        wgu=_init_q(ks[2], D, 2 * F, L, bits),
+        wdown=_init_q(ks[3], F, D, L, bits),
+    )
+    if cfg.attention_bias:
+        layers["bqkv"] = jnp.zeros((L, (H + 2 * Hkv) * hd), cfg.dtype)
+    k1, k2 = jax.random.split(ks[4])
+    embed = QuantizedEmbedding(
+        codes=jax.random.randint(k1, (cfg.vocab_size, D), -127, 128, jnp.int8),
+        scale=jnp.full((cfg.vocab_size,), 2e-4, jnp.float32))
+    head = jax.tree.map(lambda a: a[0], _init_q(k2, D, cfg.vocab_size, 1, bits))
+    return ModelParams(embed=embed, layers=layers,
+                       final_norm=jnp.ones((D,), jnp.float32), lm_head=head)
+
+
+def quantize_draft(cfg: ModelConfig, params: ModelParams,
+                   bits: int = 8) -> ModelParams:
+    """GPTQ-style quantization of a (fused-layout) small model's matmul
+    weights on device — the draft is the int8 image of the target's small
+    trunk, so draft/target divergence is pure quantization error (the
+    reference's own operating regime: both its models are GPTQ images of the
+    same pretraining run's family)."""
+    L = dict(params.layers)
+    for name in ("wqkv", "wo", "wgu", "wdown", "wq", "wk", "wv",
+                 "wgate", "wup"):
+        if name in L and not isinstance(L[name], QuantizedLinear):
+            gs = _gs(L[name].shape[-2])
+            L[name] = jax.vmap(
+                lambda w: quantize(w, bits=bits, group_size=gs))(L[name])
+    return params._replace(layers=L)
+
+
+def build_coupled_pair(key: jax.Array, cfg_small: ModelConfig,
+                       cfg_big: ModelConfig, lam: float,
+                       logit_scale: float = 1.65, big_bits: int = 4
+                       ) -> Tuple[ModelParams, CoupledParams]:
+    """Build (draft_params, target_params) for the coupled benchmark.
+
+    logit_scale sharpens the small trunk's logits (synthetic-random weights
+    produce too-flat distributions otherwise); lam sets the extra target-only
+    divergence. Both knobs are calibrated so block efficiency lands in the
+    reference's published band (docs/BENCHMARKS.md)."""
+    kb, ks = jax.random.split(key)
+    small = transformer.init_params(cfg_small, ks)
+    small = small._replace(
+        embed=(small.embed.astype(jnp.float32) * logit_scale
+               ).astype(cfg_small.dtype))
+    small = fuse_params(cfg_small, small)
+    draft = quantize_draft(cfg_small, small, bits=8)
+    big = init_quantized_params(cfg_big, kb, bits=big_bits)
+    target = CoupledParams(big=big, small=small,
+                           lam=jnp.float32(lam))
+    return draft, target

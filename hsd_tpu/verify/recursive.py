@@ -18,6 +18,22 @@ with `hist_lengths` recording the per-round committed prefix lengths):
   * joint prefix products run from the BLOCK START along the committed
     trajectory — history positions contribute their p_i/q_i factors but
     cannot be stepped back to,
+  * **history p-rows are the previous round's residuals**: the reference's
+    docstring spec (utils.py:5259-5277) is explicit — each round "calculate
+    p_prime based on p_i and q_i for each previously sampled token, treat
+    p_prime as p_i, q_i stays the same". `recursive_round` therefore returns
+    its per-position normalized residual rows and the engine substitutes
+    them for the committed history's p-rows before the next round (the
+    single-position analogue in the multidraft carry is
+    `p_new[:, 0] = p_primes[:, current_step_match]`, utils.py:5317-5324).
+    This is what makes the recursion *hierarchical*: round r verifies
+    against the residual measure left over by round r-1, and a committed
+    resample (drawn from its residual) contributes p'_k(x_k) > 0 rather
+    than a raw-target factor,
+  * a zero history factor kills everything after it (the reference's
+    `zero_after_first_zero`, utils.py:5304-5314) — implemented implicitly
+    by the log-space cumulative products: one -inf zeroes every later
+    prefix ratio,
   * the step-back pass covers only the new tail [hist_len, cand_len)
     (ref utils.py:5473-5491 restricted to non-history positions),
   * the frontier accept-all test uses the raw joint ratio over the whole
@@ -25,7 +41,8 @@ with `hist_lengths` recording the per-round committed prefix lengths):
   * on rejection the commit is (accepted tail tokens + one resample from the
     stop position's joint residual, ref :5551-5579); on full acceptance the
     whole tail commits and a bonus token is drawn from the target's
-    next-position row.
+    next-position row ("no bonus token unless gamma-n-1 tokens are
+    accepted", utils.py:5271).
 
 With `hist_len=0` over a fresh draft this is exactly one round of
 `verify_hsd(frontier='raw')` (the committed single-pass verifier), and with a
@@ -60,9 +77,15 @@ def recursive_round(key: jax.Array, cand_tokens: jax.Array, q: jax.Array,
     hist_len: committed prefix length (cannot be stepped back);
     cand_len: trajectory length (hist_len < cand_len <= gamma).
 
-    Returns (tokens [gamma+1], n_commit, full): tokens[:n_commit] are this
-    round's newly committed tokens (accepted tail + resample, or full tail +
-    bonus when `full`).
+    The caller maintains the recursion: rows of `p` at HISTORY positions must
+    be the previous round's residual rows (see module docstring) — the engine
+    substitutes the returned `resid_rows` after each non-full round.
+
+    Returns (tokens [gamma+1], n_commit, full, resid_rows [gamma, V]):
+    tokens[:n_commit] are this round's newly committed tokens (accepted tail
+    + resample, or full tail + bonus when `full`); resid_rows are this
+    round's per-position normalized residuals (zero rows where the joint
+    divergence has no positive part).
     """
     L = cand_tokens.shape[0]
     V = q.shape[-1]
@@ -118,4 +141,10 @@ def recursive_round(key: jax.Array, cand_tokens: jax.Array, q: jax.Array,
     src = jnp.take(cand_tokens, jnp.clip(out_rel + hist_len, 0, L - 1))
     out = jnp.where(out_rel < n_acc, src, 0).astype(jnp.int32)
     out = out.at[jnp.clip(n_acc, 0, L)].set(t)
-    return out, (n_acc + 1).astype(jnp.int32), full
+    # per-position normalized residuals for the caller's p-row substitution
+    # ("treat p_prime as p_i", ref utils.py:5259-5277 + renormalization at
+    # :5320-5325); rows with no positive divergence stay zero (the reference
+    # keeps zero rows after guarding the sum, :5321-5322)
+    resid_rows = jnp.where(s_plus[:, None] > 0,
+                           plus / jnp.maximum(s_plus, TINY)[:, None], 0.0)
+    return out, (n_acc + 1).astype(jnp.int32), full, resid_rows

@@ -38,6 +38,10 @@ class EagleGenerateResult(NamedTuple):
     accepts: jax.Array      # [max_blocks] accept_length per block
     draft_lens: jax.Array   # [max_blocks] drafted tokens per block (N)
     ncommit: jax.Array
+    # [max_blocks] valid length of the block's best path row (root incl.);
+    # with accepts it yields the paper's per-position acceptance rates alpha
+    # (eval/eagle_metrics.alpha_from_blocks; ref evaluation/alpha.py:16-30)
+    path_lens: jax.Array = jnp.zeros(())
 
 
 def default_feature_layers(cfg: ModelConfig) -> Tuple[int, int, int]:
@@ -78,7 +82,7 @@ def autotune_total_tokens(cfg_t: ModelConfig, ecfg: EagleConfig,
 
 def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
                         engine: EngineConfig, mode: str = "hsd",
-                        target_forward=None):
+                        target_forward=None, static_tree=None):
     """Build jitted `generate(params_target, eagle_params, prompt, prompt_len,
     key)` for mode in {'greedy', 'typical', 'hsd'}.
 
@@ -86,9 +90,16 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
     -> (logits, cache, feats)` override — e.g.
     `parallel.tp.make_tp_eagle_forward(cfg_t, params_t, feature_layers)` to
     run the base model on local Megatron shards (Pallas kernels) while the
-    draft head stays replicated."""
+    draft head stays replicated.
+    static_tree: optional `models.choices.StaticTree` — draft a FIXED choice
+    tree (the reference's legacy EAGLE-1 path, choices.py + generate_tree_
+    buffers, utils.py:90-208) instead of the dynamic beam trie; shape params
+    of `ecfg` must match (`choices.eagle_config_for_tree`)."""
     N = ecfg.total_tokens
     depth = ecfg.depth
+    if static_tree is not None:
+        assert (static_tree.num_nodes, static_tree.depth) == (N, depth), \
+            "pass ecfg = choices.eagle_config_for_tree(ecfg, static_tree)"
     Lpath = depth + 2
     T_abs = Lpath  # head absorb window per block
     temp = processor(engine.temperature, engine.top_k, engine.top_p)
@@ -114,7 +125,9 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
         start = jnp.broadcast_to(P - prompt_len, (1,)).astype(jnp.int32)
         tcache = init_cache(cfg_t, 1, S)._replace(start=start)
         # head KV needs S pair slots + the per-block trie scratch region
-        ekv = init_eagle_kv(ecfg, 1, S + depth * ecfg.top_k + T_abs)
+        # (beam: depth*top_k slots; static tree: one slot per node)
+        scratch = max(depth * ecfg.top_k, N) + T_abs
+        ekv = init_eagle_kv(ecfg, 1, S + scratch)
         ekv = ekv._replace(start=start[0])
 
         # ---- prefill target over the prompt; collect features -------------
@@ -153,6 +166,7 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
 
         accepts = jnp.full((max_new,), -1, jnp.int32)
         dlens = jnp.full((max_new,), -1, jnp.int32)
+        plens = jnp.full((max_new,), -1, jnp.int32)
 
         def absorb_window(ekv, feat_buf, tokens, upto):
             """Re-feed the last T_abs (feature, token) pairs so the head KV
@@ -163,19 +177,25 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
             fwin = jnp.take(feat_buf, jnp.clip(idx, 0, S - 1), axis=0)
             twin = jnp.take(tokens, jnp.clip(idx + 1, 0, S - 1), axis=0)
             ekv = ekv._replace(length=s0)
-            trie, ekv = build_trie(
-                ecfg, params_e, fwin[None], twin[None], ekv, s0,
-                tokens[jnp.clip(idx[-1] + 1, 0, S - 1)])
+            root = tokens[jnp.clip(idx[-1] + 1, 0, S - 1)]
+            if static_tree is not None:
+                from ..models.choices import build_static_trie
+                trie, ekv = build_static_trie(
+                    ecfg, params_e, fwin[None], twin[None], ekv, s0, root,
+                    static_tree)
+            else:
+                trie, ekv = build_trie(
+                    ecfg, params_e, fwin[None], twin[None], ekv, s0, root)
             return trie, ekv
 
         def cond(state):
-            (_, length, done, _, _, _, _, _, blocks) = state
+            (_, length, done, _, _, _, _, _, _, blocks) = state
             return (~done) & (length + N + 2 <= S) & (blocks < max_new) & \
                 (length - P < max_new)
 
         def body(state):
             (tokens, length, done, tcache, ekv, feat_buf, accepts, dlens,
-             blocks) = state
+             plens, blocks) = state
             kb = jax.random.fold_in(key, blocks + 1)
             k1, k2 = jax.random.split(kb)
 
@@ -237,12 +257,13 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
             done = done | hit_eos
             accepts = accepts.at[blocks].set(acc_len)
             dlens = dlens.at[blocks].set(N)
+            plens = plens.at[blocks].set(trie.path_len[best])
             return (tokens, new_length, done, tcache, ekv, feat_buf, accepts,
-                    dlens, blocks + 1)
+                    dlens, plens, blocks + 1)
 
         state = (tokens, length, jnp.bool_(False), tcache, ekv, feat_buf,
-                 accepts, dlens, jnp.int32(0))
-        (tokens, length, done, _, _, _, accepts, dlens, blocks) = \
+                 accepts, dlens, plens, jnp.int32(0))
+        (tokens, length, done, _, _, _, accepts, dlens, plens, blocks) = \
             jax.lax.while_loop(cond, body, state)
 
         length = jnp.minimum(length, P + max_new)
@@ -253,6 +274,6 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
         return EagleGenerateResult(tokens=tokens, length=length,
                                    prompt_len=jnp.int32(P), blocks=blocks,
                                    accepts=accepts, draft_lens=dlens,
-                                   ncommit=length - P)
+                                   ncommit=length - P, path_lens=plens)
 
     return jax.jit(generate)

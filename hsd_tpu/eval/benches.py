@@ -277,9 +277,12 @@ def run_multibench(questions: List[dict], tokenizer, generate: Callable,
         text = strip_output(tokenizer.decode(out_ids.tolist()), template)
         dec_t = time.perf_counter() - t0
         nb = int(res.blocks)
+        pl = getattr(res, "path_lens", None)
+        pl = (np.asarray(pl)[:nb].tolist()
+              if pl is not None and getattr(pl, "ndim", 0) else None)
         return (text, int(res.ncommit), nb, gen_t, tok_t, dec_t,
                 np.asarray(res.accepts)[:nb].tolist(),
-                np.asarray(res.draft_lens)[:nb].tolist())
+                np.asarray(res.draft_lens)[:nb].tolist(), pl)
 
     # Warmup: first question, untimed (ref runs it 3x, :311-389).
     if questions and warmup:
@@ -300,10 +303,21 @@ def run_multibench(questions: List[dict], tokenizer, generate: Callable,
                 info = {k: [] for k in
                         ("tokenizer_time", "tokenizer_decode_time",
                          "generate_time", "accept_length", "draft_length")}
+                alpha = np.zeros((5,), np.int64)
+                alpha_num = np.zeros((5,), np.int64)
+                have_alpha = False
                 for tj, user_text in enumerate(turns_all):
                     messages.append({"role": "user", "content": user_text})
                     (text, ncommit, nb, gen_t, tok_t, dec_t, acc,
-                     dl) = one_turn(messages, jax.random.fold_in(key, tj))
+                     dl, pl) = one_turn(messages, jax.random.fold_in(key, tj))
+                    if pl is not None:
+                        # per-position acceptance counts (the paper's alpha;
+                        # aggregator parity with evaluation/alpha.py:16-30)
+                        from .eagle_metrics import alpha_from_blocks
+                        a_t, n_t = alpha_from_blocks(acc, pl)
+                        alpha += a_t
+                        alpha_num += n_t
+                        have_alpha = True
                     messages.append({"role": "assistant", "content": text})
                     turns.append(text)
                     idxs.append(nb)
@@ -316,8 +330,14 @@ def run_multibench(questions: List[dict], tokenizer, generate: Callable,
                     info["draft_length"].append(dl)
                     total_tokens += ncommit
                     total_time += gen_t
-                choices.append({"index": ci, "turns": turns, "idxs": idxs,
-                                "new_tokens": new_tokens, "wall_time": wall})
+                choice = {"index": ci, "turns": turns, "idxs": idxs,
+                          "new_tokens": new_tokens, "wall_time": wall}
+                if have_alpha:
+                    choice["alpha"] = alpha.tolist()
+                    choice["alpha_num"] = alpha_num.tolist()
+                    info["alpha"] = [alpha.tolist()]
+                    info["alpha_num"] = [alpha_num.tolist()]
+                choices.append(choice)
                 infos.append(info)
             fa.write(json.dumps({
                 "question_id": q["question_id"],

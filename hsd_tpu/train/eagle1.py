@@ -62,8 +62,11 @@ def eagle1_loss(ecfg: EagleConfig, params: EagleParams, hidden: jax.Array,
     ploss = jnp.sum(ploss * loss_mask[:, 1:]) / (jnp.sum(loss_mask[:, 1:]) + 1e-6)
     acc = jnp.sum((jnp.argmax(logits_pred, -1) == jnp.argmax(logits_tgt, -1))
                   * loss_mask[:, 1:]) / (jnp.sum(loss_mask[:, 1:]) + 1e-6)
-    return v_w * vloss + p_w * ploss, {"vloss": vloss, "ploss": ploss,
-                                       "acc": acc}
+    metrics = {"vloss": vloss, "ploss": ploss, "acc": acc}
+    # per-step top-k probes (ref main.py:345-379 top_3acc logging)
+    from .probes import top_k_accuracy
+    metrics.update(top_k_accuracy(logits_pred, logits_tgt, loss_mask[:, 1:]))
+    return v_w * vloss + p_w * ploss, metrics
 
 
 def make_eagle1_train_step(cfg_t: ModelConfig, ecfg: EagleConfig,

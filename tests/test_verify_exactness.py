@@ -17,7 +17,14 @@ from markov import (ar_joint, empirical_joint, random_tables,
 V = 5
 T = 3
 GAMMA = 3
-N_TRIALS = 120_000
+# Fast lane (default): 24k trials with MC-scaled tolerances — keeps every
+# iteration under the 4-minute budget. Full-precision lane: `-m slow` runs
+# the original 120k-trial versions (test_lossless_full below); CI should run
+# `pytest -q` + a nightly `pytest -q -m slow`.
+FULL_TRIALS = 120_000
+N_TRIALS = int(__import__("os").environ.get("HSD_TRIALS", 24_000))
+# MC TV noise scales ~ 1/sqrt(N): widen tolerances accordingly in fast mode
+MC_SCALE = max(1.0, (FULL_TRIALS / N_TRIALS) ** 0.5)
 
 
 def _run(method, K, seed=0, concentration=0.6, n_trials=N_TRIALS,
@@ -40,14 +47,15 @@ def _run(method, K, seed=0, concentration=0.6, n_trials=N_TRIALS,
 
 
 # Monte-Carlo TV tolerance: E[TV] ~ 0.5*C*sqrt(2p/(pi*N)) ~ 0.008 for
-# C=125 cells, N=120k; threshold 4x that.
-TOL = 0.035
+# C=125 cells, N=120k; threshold 4x that (scaled by MC_SCALE in fast mode).
+TOL = 0.035 * MC_SCALE
 # method='hsd_ref' reproduces the COMMITTED reference algorithm, which is NOT
 # exactly lossless (raw-joint frontier test; a float64 transcription of the
 # reference torch math shows the same TV plateau — docs/LOSSLESSNESS.md).
 # These bands pin reference-level behavior: regressions beyond it still fail.
 # method='hsd' (capped frontier) is EXACT and held to the strict tolerance.
-TOL_HSD_REF = {1: 0.030, 4: 0.045}
+# bias plateau (N-independent) + MC noise term (scales with 1/sqrt(N))
+TOL_HSD_REF = {1: 0.022 + 0.008 * MC_SCALE, 4: 0.033 + 0.012 * MC_SCALE}
 
 
 @pytest.mark.parametrize("method,K", [
@@ -70,16 +78,37 @@ def test_lossless(method, K):
     assert d_draft > 0.1, f"{method} K={K}: output looks like the draft dist"
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("method,K", [
+    ("tokenwise", 1),
+    ("tokenwise", 4),
+    ("hsd", 1),
+    ("hsd", 4),
+    ("hsd_ref", 1),
+    ("hsd_ref", 4),
+    ("blockwise", 1),
+])
+def test_lossless_full(method, K):
+    """Full-precision lane: the original 120k-trial exactness bands."""
+    emp, target, draft = _run(method, K, n_trials=FULL_TRIALS)
+    d_target = tv_distance(emp, target)
+    tol = ({1: 0.030, 4: 0.045}[K] if method == "hsd_ref" else 0.035)
+    assert tv_distance(target, draft) > 0.2
+    assert d_target < tol, f"{method} K={K}: TV to target {d_target:.4f}"
+    assert tv_distance(emp, draft) > 0.1
+
+
 def test_first_token_marginal_exact_all_methods():
     """The first committed token of a block is exactly p-distributed for every
     verifier — including hsd_ref (confirmed by exact enumeration; the
     reference bias only affects later within-block positions,
     docs/LOSSLESSNESS.md)."""
     for method, K in [("tokenwise", 1), ("hsd_ref", 1), ("hsd", 4), ("blockwise", 1)]:
-        emp, target, _ = _run(method, K, n_trials=60_000)
+        emp, target, _ = _run(method, K, n_trials=min(N_TRIALS, 60_000))
         e1 = empirical_joint_first(emp)
         t1 = marginal_first(target)
-        assert tv_distance(e1, t1) < 0.012, (method, K, tv_distance(e1, t1))
+        tol1 = 0.012 * max(1.0, (60_000 / min(N_TRIALS, 60_000)) ** 0.5)
+        assert tv_distance(e1, t1) < tol1, (method, K, tv_distance(e1, t1))
 
 
 def marginal_first(joint):

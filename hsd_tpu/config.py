@@ -29,6 +29,10 @@ class ModelConfig:
     num_kv_heads: int = 2
     head_dim: Optional[int] = None  # defaults to hidden_size // num_heads
     rope_theta: float = 1000000.0
+    # Llama-3.1+ frequency-dependent RoPE scaling, as the hashable tuple
+    # (factor, low_freq_factor, high_freq_factor,
+    #  original_max_position_embeddings); None = plain RoPE
+    rope_scaling: Optional[Tuple[float, float, float, int]] = None
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = True
     attention_bias: bool = True  # Qwen2 uses qkv bias; Llama does not

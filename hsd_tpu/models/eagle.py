@@ -40,6 +40,10 @@ class EagleConfig:
     draft_vocab_size: int    # reduced draft vocab (== vocab_size when full)
     rms_norm_eps: float = 1e-5
     rope_theta: float = 500000.0
+    # Llama-3.1 frequency-dependent RoPE scaling tuple (see
+    # ModelConfig.rope_scaling); heads trained on scaled-rope targets
+    # (e.g. EAGLE3-LLaMA3.1) must rotate identically
+    rope_scaling: tuple = None
     intermediate_size: int = 0
     top_k: int = 10
     depth: int = 6
@@ -170,9 +174,15 @@ def _rms(x, w, eps):
             * w).astype(x.dtype)
 
 
-def _rope(x, positions, theta):
+def _rope(x, positions, theta, scaling=None):
     d = x.shape[-1]
     freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    if scaling is not None:
+        # Llama-3.1 frequency-dependent scaling (transformer._rope)
+        factor, lo_f, hi_f, orig = scaling
+        smooth = jnp.clip((orig / (2.0 * jnp.pi / freqs) - lo_f)
+                          / (hi_f - lo_f), 0.0, 1.0)
+        freqs = (1.0 - smooth) * freqs / factor + smooth * freqs
     ang = positions[..., None].astype(jnp.float32) * freqs
     cos, sin = jnp.cos(ang)[:, :, None, :], jnp.sin(ang)[:, :, None, :]
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
@@ -222,28 +232,32 @@ def head_forward(cfg: EagleConfig, p: EagleParams, token_emb: jax.Array,
     q = apply_linear(p.wq, x).reshape(B, T, H, hd)
     k = apply_linear(p.wk, x).reshape(B, T, Hkv, hd)
     v = apply_linear(p.wv, x).reshape(B, T, Hkv, hd)
-    q = _rope(q, positions, cfg.rope_theta)
-    k = _rope(k, positions, cfg.rope_theta)
+    q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+    k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
     S = kv.k.shape[1]
     kbuf = jax.lax.dynamic_update_slice(kv.k, k.astype(kv.k.dtype),
                                         (0, kv.length, 0, 0))
     vbuf = jax.lax.dynamic_update_slice(kv.v, v.astype(kv.v.dtype),
                                         (0, kv.length, 0, 0))
+    # GQA as a grouped einsum over [kv_head, rep] — NEVER materialize the
+    # repeated K/V (jnp.repeat rewrote rep x the cache bytes per step; same
+    # fix as transformer._attention, measured there as the dominant
+    # long-context cost). Head h maps to (kv_head h//rep, rep h%rep), the
+    # jnp.repeat ordering.
     rep = H // Hkv
-    kr = jnp.repeat(kbuf, rep, axis=2)
-    vr = jnp.repeat(vbuf, rep, axis=2)
-    scores = jnp.einsum("bthd,bshd->bhts", q, kr,
+    qg = q.reshape(B, T, Hkv, rep, hd)
+    scores = jnp.einsum("btkrd,bskd->bkrts", qg, kbuf,
                         preferred_element_type=jnp.float32) * hd ** -0.5
     if kv_mask is None:
-        slot = jnp.arange(S)[None, None, None, :]
-        qslot = (kv.length + jnp.arange(T))[None, None, :, None]
+        slot = jnp.arange(S)[None, None, None, None, :]
+        qslot = (kv.length + jnp.arange(T))[None, None, None, :, None]
         mask = (slot <= qslot) & (slot >= kv.start)
     else:
-        mask = kv_mask[:, None, :, :]
+        mask = kv_mask[:, None, None, :, :]
     scores = jnp.where(mask, scores, -1e30)
-    att = jnp.einsum("bhts,bshd->bthd",
-                     jax.nn.softmax(scores, -1).astype(q.dtype), vr)
+    att = jnp.einsum("bkrts,bskd->btkrd",
+                     jax.nn.softmax(scores, -1).astype(q.dtype), vbuf)
     out = residual + apply_linear(p.wo, att.reshape(B, T, H * hd))
     h = _rms(out, p.ln_post, cfg.rms_norm_eps)
     out = out + apply_linear(p.wdown,

@@ -27,15 +27,69 @@ from .transformer import ModelParams
 
 
 def _load_all_tensors(path: str) -> Dict[str, np.ndarray]:
+    """Load every tensor of a checkpoint directory.
+
+    Prefers `model.safetensors.index.json` (sharded checkpoints): loads
+    exactly the files the weight_map names, each once, and verifies every
+    mapped key landed — a truncated download fails loudly instead of
+    producing a partial model. Falls back to globbing *.safetensors."""
     from safetensors import numpy as stnp
 
     tensors = {}
+    index = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        for fname in sorted(set(weight_map.values())):
+            fp = os.path.join(path, fname)
+            if not os.path.exists(fp):
+                raise FileNotFoundError(
+                    f"index names {fname} but it is missing under {path}")
+            tensors.update(stnp.load_file(fp))
+        missing = [k for k in weight_map if k not in tensors]
+        if missing:
+            raise ValueError(f"index keys missing from shards: {missing[:5]}"
+                             f"{'...' if len(missing) > 5 else ''}")
+        return tensors
     files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
     if not files:
         raise FileNotFoundError(f"no safetensors under {path}")
     for f in files:
         tensors.update(stnp.load_file(f))
     return tensors
+
+
+def read_quant_config(path: str) -> Optional[Dict]:
+    """Read GPTQ quantization metadata from either of the two conventions:
+    `quantization_config` inside config.json (HF transformers) or the
+    standalone `quantize_config.json` (auto-gptq). Returns a normalized dict
+    {bits, group_size, sym, desc_act, zero_offset} or None if unquantized.
+
+    zero_offset encodes the checkpoint format's zero-point convention:
+      * 1 — auto-gptq v1 (`checkpoint_format` absent or "gptq"):
+            w = scale * (code - (qzero + 1)), the historical off-by-one;
+      * 0 — "gptq_v2" (gptqmodel): w = scale * (code - qzero).
+    """
+    qc = None
+    cfgp = os.path.join(path, "config.json")
+    if os.path.exists(cfgp):
+        with open(cfgp) as f:
+            qc = json.load(f).get("quantization_config")
+    if qc is None:
+        qcp = os.path.join(path, "quantize_config.json")
+        if os.path.exists(qcp):
+            with open(qcp) as f:
+                qc = json.load(f)
+    if qc is None or qc.get("quant_method", "gptq") != "gptq":
+        return None
+    fmt = qc.get("checkpoint_format", "gptq")
+    return {
+        "bits": int(qc["bits"]),
+        "group_size": int(qc.get("group_size", 128)),
+        "sym": bool(qc.get("sym", True)),
+        "desc_act": bool(qc.get("desc_act", False)),
+        "zero_offset": 0 if fmt == "gptq_v2" else 1,
+    }
 
 
 def config_from_hf(path: str) -> ModelConfig:
@@ -45,7 +99,15 @@ def config_from_hf(path: str) -> ModelConfig:
     eos = c.get("eos_token_id")
     if isinstance(eos, list):
         eos = eos[0]
+    rs = c.get("rope_scaling")
+    rope_scaling = None
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        rope_scaling = (float(rs["factor"]),
+                        float(rs["low_freq_factor"]),
+                        float(rs["high_freq_factor"]),
+                        int(rs["original_max_position_embeddings"]))
     return ModelConfig(
+        rope_scaling=rope_scaling,
         vocab_size=c["vocab_size"],
         hidden_size=c["hidden_size"],
         intermediate_size=c["intermediate_size"],
@@ -80,28 +142,46 @@ def _unpack_gptq_int32(packed: np.ndarray, bits: int) -> np.ndarray:
 
 
 def _gptq_linear(t: Dict[str, np.ndarray], prefix: str, bits: int,
-                 dtype) -> QuantizedLinear:
+                 dtype, zero_offset: int = 1) -> QuantizedLinear:
     """Convert one auto-gptq layer to QuantizedLinear ([in, out] int8 codes).
 
-    auto-gptq dequant: w = scale[g] * (code - (qzero[g] + 1)) for most
-    checkpoints (the +1 offset is the historical auto-gptq convention).
-    Our contract is w = (code' - zero) * scale with signed code'; we shift
-    codes to signed by subtracting 2^(bits-1) and fold the shift into zero.
+    auto-gptq v1 dequant: w = scale[g] * (code - (qzero[g] + 1)) (the
+    historical off-by-one); gptq_v2 drops the +1 (zero_offset=0). Our
+    contract is w = (code' - zero) * scale with signed code'; we shift codes
+    to signed by subtracting 2^(bits-1) and fold the shift into zero.
+
+    desc_act (act-order) checkpoints carry a permuted g_idx: row i belongs to
+    group g_idx[i] instead of i // group_size. Rows are re-sorted here by
+    stable argsort(g_idx) so groups become contiguous, and the sort is kept
+    in QuantizedLinear.perm — apply_linear gathers the activations to match
+    (ops/linear.py). Symmetric checkpoints without qzeros get zeros=None.
     """
     qweight = _unpack_gptq_int32(t[prefix + ".qweight"], bits)     # [in, out]
-    qzeros = _unpack_gptq_int32(t[prefix + ".qzeros"].T, bits).T   # [groups, out]
     scales = t[prefix + ".scales"].astype(np.float32)              # [groups, out]
     g_idx = t.get(prefix + ".g_idx")
     groups = scales.shape[0]
     din = qweight.shape[0]
     gs = din // groups
+    perm = None
     if g_idx is not None:
+        g_idx = np.asarray(g_idx, np.int64)
         expect = np.arange(din) // gs
-        if not np.array_equal(np.asarray(g_idx, np.int64), expect):
-            raise NotImplementedError("permuted g_idx (desc_act) not supported")
+        if not np.array_equal(g_idx, expect):
+            counts = np.bincount(g_idx, minlength=groups)
+            if not (counts == gs).all():
+                raise NotImplementedError(
+                    f"ragged g_idx groups (sizes {sorted(set(counts))}) "
+                    f"not supported")
+            perm = np.argsort(g_idx, kind="stable").astype(np.int32)
+            qweight = qweight[perm]
     offset = 1 << (bits - 1)
     codes = qweight.astype(np.int16) - offset
-    zeros = (qzeros.astype(np.float32) + 1.0) - offset
+    qz = t.get(prefix + ".qzeros")
+    if qz is not None:
+        qzeros = _unpack_gptq_int32(qz.T, bits).T                  # [groups, out]
+        zeros = (qzeros.astype(np.float32) + zero_offset) - offset
+    else:
+        zeros = None  # symmetric: w = scale * code'
     if bits == 4 and din % 2 == 0:
         # keep 4-bit checkpoints nibble-packed (uint8 marker dtype): rows
         # 2i/2i+1 per byte, nibbles stored unsigned (= raw GPTQ codes; the
@@ -114,7 +194,8 @@ def _gptq_linear(t: Dict[str, np.ndarray], prefix: str, bits: int,
     return QuantizedLinear(
         qweight=jnp.asarray(q),
         scales=jnp.asarray(scales),
-        zeros=jnp.asarray(zeros.astype(np.float32)),
+        zeros=None if zeros is None else jnp.asarray(zeros.astype(np.float32)),
+        perm=None if perm is None else jnp.asarray(perm),
     )
 
 
@@ -131,7 +212,10 @@ def load_hf(path: str, cfg: Optional[ModelConfig] = None,
             quantize_embed: bool = False) -> tuple:
     """Load an HF Qwen2/Llama/Mixtral checkpoint directory.
 
-    quantized: None for dense; 8/4 for GPTQ checkpoints.
+    quantized: None to auto-detect from the checkpoint's quantization config
+      (config.json `quantization_config` / quantize_config.json — covers
+      bits, desc_act and the v1/v2 zero convention); 8/4 to force GPTQ bits
+      on configless checkpoints.
     quantize_embed: also quantize the embedding table per-row int8
       (requires an untied head; halves the table's HBM footprint).
     Returns (cfg, ModelParams) with layer weights stacked on axis 0.
@@ -140,6 +224,12 @@ def load_hf(path: str, cfg: Optional[ModelConfig] = None,
     t = _load_all_tensors(path)
     L = cfg.num_layers
     dt = cfg.dtype
+    qc = read_quant_config(path)
+    zero_offset = 1
+    if qc is not None:
+        if quantized is None:
+            quantized = qc["bits"]
+        zero_offset = qc["zero_offset"]
 
     def stack_dense(fmt):
         return jnp.stack([_dense(t, fmt.format(i), dt) for i in range(L)])
@@ -148,13 +238,24 @@ def load_hf(path: str, cfg: Optional[ModelConfig] = None,
         return jnp.stack([jnp.asarray(t[fmt.format(i)].astype(np.float32))
                           for i in range(L)]).astype(dt)
 
-    def stack_gptq(fmt):
-        qs = [_gptq_linear(t, fmt.format(i), quantized, dt) for i in range(L)]
+    def _stack_q(qs):
+        if any(q.perm is not None for q in qs):
+            # desc_act may leave some layers already-contiguous (identity)
+            ident = jnp.arange(qs[0].din, dtype=jnp.int32)
+            qs = [q if q.perm is not None else q._replace(perm=ident)
+                  for q in qs]
         return QuantizedLinear(
             qweight=jnp.stack([q.qweight for q in qs]),
             scales=jnp.stack([q.scales for q in qs]),
-            zeros=jnp.stack([q.zeros for q in qs]),
+            zeros=(None if qs[0].zeros is None
+                   else jnp.stack([q.zeros for q in qs])),
+            perm=(None if qs[0].perm is None
+                  else jnp.stack([q.perm for q in qs])),
         )
+
+    def stack_gptq(fmt):
+        return _stack_q([_gptq_linear(t, fmt.format(i), quantized, dt,
+                                      zero_offset) for i in range(L)])
 
     pre = "model.layers.{}."
     if quantized:
@@ -182,16 +283,17 @@ def load_hf(path: str, cfg: Optional[ModelConfig] = None,
 
         def stack_experts(wname):
             if quantized:
-                qs = [[_gptq_linear(
+                rows = [_stack_q([_gptq_linear(
                     t, f"model.layers.{i}.block_sparse_moe.experts.{e}.{wname}",
-                    quantized, dt) for e in range(E)] for i in range(L)]
+                    quantized, dt, zero_offset) for e in range(E)])
+                    for i in range(L)]
                 return QuantizedLinear(
-                    qweight=jnp.stack([jnp.stack([q.qweight for q in row])
-                                       for row in qs]),
-                    scales=jnp.stack([jnp.stack([q.scales for q in row])
-                                      for row in qs]),
-                    zeros=jnp.stack([jnp.stack([q.zeros for q in row])
-                                     for row in qs]),
+                    qweight=jnp.stack([r.qweight for r in rows]),
+                    scales=jnp.stack([r.scales for r in rows]),
+                    zeros=(None if rows[0].zeros is None
+                           else jnp.stack([r.zeros for r in rows])),
+                    perm=(None if rows[0].perm is None
+                          else jnp.stack([r.perm for r in rows])),
                 )
             return jnp.stack([jnp.stack([_dense(
                 t, f"model.layers.{i}.block_sparse_moe.experts.{e}.{wname}.weight",
@@ -221,7 +323,16 @@ def load_hf(path: str, cfg: Optional[ModelConfig] = None,
     embed = _dense(t, "model.embed_tokens.weight", dt, transpose=False)
     lm_head = None
     if not cfg.tie_word_embeddings:
-        lm_head = _dense(t, "lm_head.weight", dt)  # -> [D, V]
+        if "lm_head.weight" in t:
+            lm_head = _dense(t, "lm_head.weight", dt)  # -> [D, V]
+        else:
+            # some Llama-3 exports declare tie_word_embeddings=false but
+            # still omit lm_head.weight (tied in practice): fall back to the
+            # embedding table rather than crash mid-72B-load
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, tie_word_embeddings=True)
+    # (config tied + materialized lm_head.weight in the export: ignore the
+    # duplicate and keep the single-copy tied representation)
     if quantize_embed:
         if cfg.tie_word_embeddings:
             raise ValueError("quantize_embed requires an untied lm_head")

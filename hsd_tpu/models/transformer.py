@@ -118,11 +118,22 @@ def fuse_params(cfg: ModelConfig, params: ModelParams) -> ModelParams:
 
     def cat(ws):
         if isinstance(ws[0], QuantizedLinear):
+            # q/k/v are quantized independently, so desc_act act-orders can
+            # differ per projection — fusing them into one matmul would need
+            # one shared activation gather, which only exists if the perms
+            # coincide (they share the same input stream).
+            perms = [w.perm for w in ws]
+            if any(p is not None for p in perms):
+                assert all(p is not None and
+                           bool(jnp.array_equal(p, perms[0]))
+                           for p in perms), \
+                    "cannot fuse desc_act projections with differing g_idx"
             return QuantizedLinear(
                 qweight=jnp.concatenate([w.qweight for w in ws], axis=-1),
                 scales=jnp.concatenate([w.scales for w in ws], axis=-1),
                 zeros=None if ws[0].zeros is None else
-                jnp.concatenate([w.zeros for w in ws], axis=-1))
+                jnp.concatenate([w.zeros for w in ws], axis=-1),
+                perm=perms[0])
         return jnp.concatenate(ws, axis=-1)
 
     L["wqkv"] = cat([L.pop("wq"), L.pop("wk"), L.pop("wv")])
@@ -191,10 +202,23 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
 
 
-def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
-    """NeoX-style rotate-half RoPE. x: [B, T, H, d], positions: [B, T]."""
+def _rope(x: jax.Array, positions: jax.Array, theta: float,
+          scaling=None) -> jax.Array:
+    """NeoX-style rotate-half RoPE. x: [B, T, H, d], positions: [B, T].
+
+    scaling: optional Llama-3.1 frequency-dependent scaling tuple
+    (factor, low_freq_factor, high_freq_factor, original_max_position) —
+    long wavelengths (past the original context) are slowed by `factor`,
+    short ones kept, with a smooth ramp between (HF LlamaConfig
+    rope_scaling rope_type="llama3" semantics)."""
     d = x.shape[-1]
     freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    if scaling is not None:
+        factor, lo_f, hi_f, orig = scaling
+        wavelen = 2.0 * jnp.pi / freqs
+        ramp = (orig / wavelen - lo_f) / (hi_f - lo_f)
+        smooth = jnp.clip(ramp, 0.0, 1.0)
+        freqs = ((1.0 - smooth) * freqs / factor + smooth * freqs)
     angles = positions[..., None].astype(jnp.float32) * freqs  # [B, T, d/2]
     cos = jnp.cos(angles)[:, :, None, :]
     sin = jnp.sin(angles)[:, :, None, :]
@@ -331,8 +355,8 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, Hkv, hd)
         v = v.reshape(B, T, Hkv, hd)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
+        q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+        k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
         k_all, v_all = append_layer_stacked(k_all, v_all, idx, cache.length,
                                             k, v)
         k_buf = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)

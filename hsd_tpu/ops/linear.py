@@ -29,6 +29,13 @@ class QuantizedLinear(NamedTuple):
              nibbles of a byte use the same scale/zero)
     scales:  [groups, out]; group g covers input rows [g*gs, (g+1)*gs)
     zeros:   [groups, out] float zero-points (asymmetric) or None (symmetric)
+    perm:    [in] int32 input permutation or None. desc_act (act-order) GPTQ
+             checkpoints assign rows to groups non-contiguously via g_idx;
+             the loader re-sorts rows so groups ARE contiguous and records
+             the sort here. apply_linear gathers the activations
+             (x[..., perm]) before the matmul — a [in]-gather per call,
+             negligible next to the weight stream — so every kernel below
+             sees the plain contiguous-group layout.
 
     Matches the GPTQ checkpoint format: per-group scales/zeros along the
     in-features axis, group_size = in // groups (typically 128).
@@ -37,6 +44,7 @@ class QuantizedLinear(NamedTuple):
     qweight: jax.Array
     scales: jax.Array
     zeros: Optional[jax.Array]
+    perm: Optional[jax.Array] = None
 
     @property
     def packed_int4(self) -> bool:
@@ -109,7 +117,13 @@ def quantize(w: jax.Array, bits: int = 8, group_size: int = 128,
 
 
 def dequantize(qw: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
-    """Reference dequantization: w[i, o] = (code - zero[g(i), o]) * scale."""
+    """Reference dequantization: w[i, o] = (code - zero[g(i), o]) * scale.
+
+    For a desc_act layer (perm set) the returned weight is in ORIGINAL input
+    order: row perm[i] of the output receives stored row i."""
+    perm = qw.perm
+    if perm is not None:
+        qw = qw._replace(perm=None)
     if qw.packed_int4:
         qw = qw._replace(qweight=unpack_int4(qw.qweight))
     din, dout = qw.qweight.shape
@@ -118,7 +132,10 @@ def dequantize(qw: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
     codes = qw.qweight.astype(jnp.float32).reshape(g, gs, dout)
     z = 0.0 if qw.zeros is None else qw.zeros[:, None, :]
     w = (codes - z) * qw.scales[:, None, :]
-    return w.reshape(din, dout).astype(dtype)
+    w = w.reshape(din, dout)
+    if perm is not None:
+        w = jnp.zeros_like(w).at[perm].set(w)
+    return w.astype(dtype)
 
 
 def _gptq_matmul_xla(x: jax.Array, qw: QuantizedLinear) -> jax.Array:
@@ -205,6 +222,15 @@ def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
     path: 'auto' | 'pallas' | 'xla' override (ModelConfig.gptq_path; TP
     targets must use 'xla' — GSPMD cannot partition the custom call)."""
     if isinstance(w, QuantizedLinear):
+        if w.perm is not None:
+            # desc_act layout: gather activations into group-sorted order so
+            # every kernel below sees contiguous groups (loader docstring)
+            p = w.perm
+            if p.ndim == 2:  # layer-stacked [L, in]
+                p = (jnp.take(p, layer, axis=0) if layer is not None
+                     else p[0])
+            x = jnp.take(x, p, axis=-1)
+            w = w._replace(perm=None)
         # interpret-mode keeps forced-pallas testable on the CPU mesh
         interp = jax.default_backend() != "tpu"
         if layer is not None and w.qweight.ndim == 3:

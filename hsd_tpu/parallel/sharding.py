@@ -38,6 +38,10 @@ def _linear_spec(w: Any, in_spec, out_spec, stacked: bool, lead=()):
             qweight=P(*lead, in_spec, out_spec),
             scales=P(*lead, in_spec, out_spec),
             zeros=None if w.zeros is None else P(*lead, in_spec, out_spec),
+            # desc_act permutation: replicated (the activation gather happens
+            # pre-matmul in full width; GSPMD inserts the collective if the
+            # in-axis is sharded)
+            perm=None if w.perm is None else P(*lead, None),
         )
     return P(*lead, in_spec, out_spec)
 

@@ -4,19 +4,28 @@ The north-star serving shape (BASELINE.json config 3): a fixed pool of
 request slots decodes in lockstep — each engine step runs ONE speculative
 block (draft scan -> target forward -> verify -> commit/rollback) for every
 active slot, vmapped — while a host-side scheduler admits queued prompts
-into slots as requests finish. New-request prefill writes straight into the
-slot's cache rows, so admission never stalls the running batch beyond one
-step boundary. Finished slots are masked (their step work is wasted but
-shapes stay static — the standard TPU trade).
+into slots as requests finish. New-request prefill writes into a per-request
+STAGING buffer (its own jitted program), and all admissions of a step land
+in ONE donated scatter — the slot state is updated in place, never copied
+per slot. Finished slots are masked (their step work is wasted but shapes
+stay static — the standard TPU trade).
 
-Layout: caches carry a leading slot axis via vmap; each slot owns K draft
-rows (multidraft). All jitted pieces are per-bucket static shapes.
+Layout: caches carry a leading slot axis via vmap; each slot owns R draft
+rows (K parallel drafts, or the striped-tree layout 1 + gamma*(K-1) when
+verifier.parallel=False — the same row semantics as engine/speculative.py).
+All jitted pieces are static shapes; the scheduler holds NO device-synced
+booleans (slot occupancy lives host-side in slot_rid).
+
+Telemetry: per-slot accepted-token and block counters ride in SlotState;
+`stats()` reports aggregate block efficiency and throughput, and each
+harvested Request carries its own accepts/blocks.
 """
 from __future__ import annotations
 
 import dataclasses
+import time
 from collections import deque
-from typing import Callable, Dict, List, NamedTuple, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,10 +33,10 @@ import numpy as np
 
 from ..config import EngineConfig, ModelConfig
 from ..models import transformer
-from ..ops.sampling import process_logits, processor
+from ..ops.sampling import processor
 from ..verify import verify
 from .kvcache import KVCache, init_cache, rollback, select_draft_row
-from .speculative import _draft_block
+from .speculative import _draft_block, _draft_block_striped
 
 
 class SlotState(NamedTuple):
@@ -36,6 +45,8 @@ class SlotState(NamedTuple):
     prompt_end: jax.Array  # [SLOTS] prompt region end (P bucket)
     active: jax.Array    # [SLOTS] bool
     done: jax.Array      # [SLOTS] bool (finished, awaiting harvest)
+    acc_sum: jax.Array   # [SLOTS] int32 accepted drafted tokens (telemetry)
+    blk_cnt: jax.Array   # [SLOTS] int32 speculative blocks run (telemetry)
     dcache: KVCache      # leading slot axis on batch dim handled via vmap
     tcache: KVCache
 
@@ -47,6 +58,8 @@ class Request:
     prompt_len: int
     max_new: int
     out_tokens: Optional[np.ndarray] = None
+    accepts: int = 0     # accepted drafted tokens (telemetry)
+    blocks: int = 0      # speculative blocks consumed
 
 
 class SlotEngine:
@@ -54,12 +67,16 @@ class SlotEngine:
 
     def __init__(self, cfg_d: ModelConfig, cfg_t: ModelConfig,
                  engine: EngineConfig, n_slots: int, bucket: int,
-                 params_d=None, params_t=None, seed: int = 0):
+                 params_d=None, params_t=None, seed: int = 0,
+                 admit_batch: int = 4):
         self.cfg_d, self.cfg_t, self.engine = cfg_d, cfg_t, engine
         self.n_slots = n_slots
         self.bucket = bucket
         v = engine.verifier
         self.gamma, self.K = v.gamma, v.num_drafts
+        self.striped = (not v.parallel) and self.K > 1
+        # cache rows per slot (speculative.py:160-161 row layout)
+        self.R = 1 + self.gamma * (self.K - 1) if self.striped else self.K
         self.method = v.method
         self.S = bucket + engine.max_new_tokens + self.gamma + 2
         self.params_d, self.params_t = params_d, params_t
@@ -67,34 +84,44 @@ class SlotEngine:
         self.queue: deque[Request] = deque()
         self.running: Dict[int, Request] = {}
         self.slot_rid = [-1] * n_slots
+        self.admit_batch = min(admit_batch, n_slots)
         self._build()
         self.state = self._init_state()
+        self.total_committed = 0
+        self.step_time = 0.0
 
     # ---- jitted kernels ------------------------------------------------
     def _build(self):
         cfg_d, cfg_t = self.cfg_d, self.cfg_t
-        gamma, K, S = self.gamma, self.K, self.S
+        gamma, K, R, S = self.gamma, self.K, self.R, self.S
+        striped = self.striped
         temp = processor(self.engine.temperature, self.engine.top_k,
                          self.engine.top_p)
         method = self.method
         eos = cfg_t.eos_token_id
         max_new = self.engine.max_new_tokens
 
-        def slot_block(tokens, length, prompt_end, active, dcache, tcache,
-                       key):
+        def slot_block(tokens, length, prompt_end, active, acc_sum, blk_cnt,
+                       dcache, tcache, key):
             """One speculative block for one slot (masked by `active`)."""
             kd, kv = jax.random.split(key)
             last = tokens[length - 1]
-            draft_toks, q, dcache2 = _draft_block(
-                cfg_d, self.params_d, dcache, tokens[length - 2], last, kd,
-                gamma, temp)
+            if striped:
+                draft_toks, q, dcache2 = _draft_block_striped(
+                    cfg_d, self.params_d, dcache, tokens[length - 2], last,
+                    kd, gamma, K, temp)
+            else:
+                draft_toks, q, dcache2 = _draft_block(
+                    cfg_d, self.params_d, dcache, tokens[length - 2], last,
+                    kd, gamma, temp)
             tgt_in = jnp.concatenate(
-                [jnp.broadcast_to(last, (K, 1)).astype(jnp.int32),
+                [jnp.broadcast_to(last, (R, 1)).astype(jnp.int32),
                  draft_toks], 1)
             tlogits, tcache2 = transformer.forward(cfg_t, self.params_t,
                                                    tgt_in, tcache)
             p = temp(tlogits)
-            res = verify(method, kv, draft_toks, q, p, num_drafts=K)
+            res = verify(method, kv, draft_toks, q, p, num_drafts=K,
+                         striped=striped)
             n_commit = res.n_matches + 1
             posn = jnp.arange(S)
             src = jnp.take(res.tokens, jnp.clip(posn - length, 0, gamma))
@@ -103,7 +130,7 @@ class SlotEngine:
             new_length = length + n_commit
             dcache2 = rollback(dcache2, new_length - 2)
             tcache2 = rollback(tcache2, new_length - 1)
-            if K > 1:
+            if R > 1:
                 dcache2 = select_draft_row(dcache2, res.draft_index)
                 tcache2 = select_draft_row(tcache2, res.draft_index)
             hit_eos = jnp.any(write & (tokens2 == eos))
@@ -120,18 +147,24 @@ class SlotEngine:
             tokens3 = jnp.where(active, tokens2, tokens)
             length3 = jnp.where(active, new_length, length)
             done3 = active & done
+            acc_sum3 = jnp.where(active, acc_sum + res.n_matches, acc_sum)
+            blk_cnt3 = jnp.where(active, blk_cnt + 1, blk_cnt)
             dcache3 = keep(dcache2, dcache)
             tcache3 = keep(tcache2, tcache)
-            return tokens3, length3, done3, dcache3, tcache3
+            return (tokens3, length3, done3, acc_sum3, blk_cnt3, dcache3,
+                    tcache3)
 
-        self._step = jax.jit(jax.vmap(slot_block))
+        # donate the big per-slot buffers: the step updates state in place
+        # instead of allocating a second copy of every cache each step
+        self._step = jax.jit(jax.vmap(slot_block),
+                             donate_argnums=(0, 1, 4, 5, 6, 7))
 
         def prefill(prompt, prompt_len):
             start = jnp.broadcast_to(self.bucket - prompt_len,
-                                     (K,)).astype(jnp.int32)
-            dcache = init_cache(cfg_d, K, S)._replace(start=start)
-            tcache = init_cache(cfg_t, K, S)._replace(start=start)
-            pk = jnp.broadcast_to(prompt[None, :], (K, self.bucket))
+                                     (R,)).astype(jnp.int32)
+            dcache = init_cache(cfg_d, R, S)._replace(start=start)
+            tcache = init_cache(cfg_t, R, S)._replace(start=start)
+            pk = jnp.broadcast_to(prompt[None, :], (R, self.bucket))
             _, dcache = transformer.forward(cfg_d, self.params_d, pk[:, :-2],
                                             dcache)
             _, tcache = transformer.forward(cfg_t, self.params_t, pk[:, :-1],
@@ -141,19 +174,63 @@ class SlotEngine:
 
         self._prefill = jax.jit(prefill)
 
+        A = self.admit_batch
+
+        def scatter(state: SlotState, slots, tokens_new, dc_new, tc_new):
+            """Admit up to A staged requests in ONE donated program.
+
+            slots [A] int32 target slot ids (>= n_slots rows are padding and
+            dropped); tokens_new [A, S]; dc_new/tc_new carry a leading A
+            axis. The donated state buffers are updated in place — no
+            per-slot full-cache copy."""
+            ok = slots < self.n_slots
+            sl = jnp.clip(slots, 0, self.n_slots - 1)
+
+            def put(buf, new):
+                return jax.tree.map(
+                    lambda b, n: b.at[sl].set(
+                        jnp.where(
+                            jnp.reshape(ok, (A,) + (1,) * (n.ndim - 1)),
+                            n, b[sl])), buf, new)
+
+            bucket_i = jnp.int32(self.bucket)
+            return state._replace(
+                tokens=state.tokens.at[sl].set(
+                    jnp.where(ok[:, None], tokens_new, state.tokens[sl])),
+                length=state.length.at[sl].set(
+                    jnp.where(ok, bucket_i, state.length[sl])),
+                prompt_end=state.prompt_end.at[sl].set(
+                    jnp.where(ok, bucket_i, state.prompt_end[sl])),
+                active=state.active.at[sl].set(
+                    jnp.where(ok, True, state.active[sl])),
+                done=state.done.at[sl].set(
+                    jnp.where(ok, False, state.done[sl])),
+                acc_sum=state.acc_sum.at[sl].set(
+                    jnp.where(ok, 0, state.acc_sum[sl])),
+                blk_cnt=state.blk_cnt.at[sl].set(
+                    jnp.where(ok, 0, state.blk_cnt[sl])),
+                dcache=put(state.dcache, dc_new),
+                tcache=put(state.tcache, tc_new))
+
+        self._scatter = jax.jit(scatter, donate_argnums=(0,))
+
     # ---- state management ---------------------------------------------
     def _init_state(self) -> SlotState:
-        K, S = self.K, self.S
-        dc = init_cache(self.cfg_d, K, S)
-        tc = init_cache(self.cfg_t, K, S)
+        R, S = self.R, self.S
+        dc = init_cache(self.cfg_d, R, S)
+        tc = init_cache(self.cfg_t, R, S)
         stack = lambda c: jax.tree.map(
             lambda x: jnp.stack([x] * self.n_slots), c)
+        # NOTE: donated pytrees must not alias buffers (f(donate(a),
+        # donate(a)) is an error), so every field gets its own zeros
         return SlotState(
             tokens=jnp.zeros((self.n_slots, S), jnp.int32),
             length=jnp.full((self.n_slots,), 2, jnp.int32),
             prompt_end=jnp.full((self.n_slots,), self.bucket, jnp.int32),
             active=jnp.zeros((self.n_slots,), bool),
             done=jnp.zeros((self.n_slots,), bool),
+            acc_sum=jnp.zeros((self.n_slots,), jnp.int32),
+            blk_cnt=jnp.zeros((self.n_slots,), jnp.int32),
             dcache=stack(dc), tcache=stack(tc))
 
     def submit(self, rid: int, prompt_ids: List[int], max_new: int = 0):
@@ -163,41 +240,51 @@ class SlotEngine:
                                   max_new or self.engine.max_new_tokens))
 
     def _admit(self):
-        for s in range(self.n_slots):
-            if not self.queue:
-                break
-            if bool(self.state.active[s]) or self.slot_rid[s] >= 0:
-                continue
-            req = self.queue.popleft()
-            tokens, dcache, tcache = self._prefill(
-                jnp.asarray(req.prompt), jnp.int32(req.prompt_len))
-            st = self.state
-            put = lambda buf, new: jax.tree.map(
-                lambda b, n: b.at[s].set(n), buf, new)
-            self.state = st._replace(
-                tokens=st.tokens.at[s].set(tokens),
-                length=st.length.at[s].set(self.bucket),
-                prompt_end=st.prompt_end.at[s].set(self.bucket),
-                active=st.active.at[s].set(True),
-                done=st.done.at[s].set(False),
-                dcache=put(st.dcache, dcache),
-                tcache=put(st.tcache, tcache))
-            self.slot_rid[s] = req.rid
-            self.running[req.rid] = req
+        """Prefill queued requests into staging and scatter them into free
+        slots — at most admit_batch per scatter, NO device-synced occupancy
+        reads (slot_rid is the source of truth)."""
+        free = [s for s in range((self.n_slots)) if self.slot_rid[s] == -1]
+        while self.queue and free:
+            batch = []
+            while self.queue and free and len(batch) < self.admit_batch:
+                req = self.queue.popleft()
+                s = free.pop(0)
+                tokens, dcache, tcache = self._prefill(
+                    jnp.asarray(req.prompt), jnp.int32(req.prompt_len))
+                batch.append((s, req, tokens, dcache, tcache))
+                self.slot_rid[s] = req.rid
+                self.running[req.rid] = req
+            A = self.admit_batch
+            slots = np.full((A,), self.n_slots, np.int32)  # pad -> dropped
+            slots[:len(batch)] = [b[0] for b in batch]
+            stk = lambda xs: jax.tree.map(
+                lambda *a: jnp.stack(list(a) + [a[-1]] * (A - len(a))), *xs)
+            tokens_new = stk([b[2] for b in batch])
+            dc_new = stk([b[3] for b in batch])
+            tc_new = stk([b[4] for b in batch])
+            self.state = self._scatter(self.state, jnp.asarray(slots),
+                                       tokens_new, dc_new, tc_new)
 
     def _harvest(self) -> List[Request]:
         finished = []
         done = np.asarray(self.state.done)
+        if not done.any():
+            return finished
+        acc = np.asarray(self.state.acc_sum)
+        blk = np.asarray(self.state.blk_cnt)
+        lengths = np.asarray(self.state.length)
         for s in range(self.n_slots):
             if done[s] and self.slot_rid[s] >= 0:
                 rid = self.slot_rid[s]
                 req = self.running.pop(rid)
-                ln = int(self.state.length[s])
+                ln = int(lengths[s])
                 toks = np.asarray(self.state.tokens[s])[self.bucket:ln]
                 eos = self.cfg_t.eos_token_id
                 if eos in toks.tolist():
                     toks = toks[:toks.tolist().index(eos) + 1]
                 req.out_tokens = toks[:req.max_new]
+                req.accepts = int(acc[s])
+                req.blocks = int(blk[s])
                 finished.append(req)
                 st = self.state
                 self.state = st._replace(
@@ -210,18 +297,34 @@ class SlotEngine:
         """Admit queued requests, run one speculative block for all active
         slots, harvest finished requests."""
         self._admit()
-        if not bool(np.any(np.asarray(self.state.active))):
+        if all(r < 0 for r in self.slot_rid):
             return []
         self.key, k = jax.random.split(self.key)
         keys = jax.random.split(k, self.n_slots)
         st = self.state
-        tokens, length, done, dcache, tcache = self._step(
-            st.tokens, st.length, st.prompt_end, st.active, st.dcache,
-            st.tcache, keys)
+        t0 = time.perf_counter()
+        (tokens, length, done, acc_sum, blk_cnt, dcache, tcache) = self._step(
+            st.tokens, st.length, st.prompt_end, st.active, st.acc_sum,
+            st.blk_cnt, st.dcache, st.tcache, keys)
         self.state = st._replace(tokens=tokens, length=length,
-                                 done=st.done | done, dcache=dcache,
+                                 done=st.done | done, acc_sum=acc_sum,
+                                 blk_cnt=blk_cnt, dcache=dcache,
                                  tcache=tcache)
-        return self._harvest()
+        self.step_time += time.perf_counter() - t0
+        out = self._harvest()
+        self.total_committed += sum(len(r.out_tokens) for r in out)
+        return out
+
+    def stats(self) -> Dict[str, float]:
+        """Aggregate serving telemetry: block efficiency over all slots that
+        ran, and committed-token throughput over the engine-step wall time."""
+        acc = np.asarray(self.state.acc_sum, np.float64)
+        blk = np.asarray(self.state.blk_cnt, np.float64)
+        be = float((acc.sum() + blk.sum()) / blk.sum()) if blk.sum() else 0.0
+        tput = (self.total_committed / self.step_time
+                if self.step_time else 0.0)
+        return {"block_efficiency": be, "tokens_per_s": tput,
+                "blocks": float(blk.sum()), "committed": self.total_committed}
 
     def run_all(self, max_steps: int = 10_000) -> List[Request]:
         out = []

@@ -42,7 +42,7 @@ class GenerateResult(NamedTuple):
     ncommit: jax.Array       # int32 committed new tokens
     # optional acceptance telemetry (the reference's return_probs channel,
     # utils.py:5583): zeros unless EngineConfig/collect_telemetry
-    step_back_probs: jax.Array = jnp.zeros(())  # [max_blocks, gamma] f32
+    step_back_probs: jax.Array = jnp.zeros(())  # [max_blocks, K, gamma] f32
     p_i: jax.Array = jnp.zeros(())              # [max_blocks, gamma] f32
     q_i: jax.Array = jnp.zeros(())              # [max_blocks, gamma] f32
 
@@ -194,7 +194,7 @@ def make_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
         tokens = jnp.zeros((S,), jnp.int32).at[:P].set(prompt)
         accepts = jnp.full((max_blocks,), -1, jnp.int32)
         dlens = jnp.full((max_blocks,), -1, jnp.int32)
-        tel0 = (jnp.zeros((max_blocks, gamma), jnp.float32),) * 3 \
+        tel0 = (jnp.zeros((max_blocks, K, gamma), jnp.float32),) * 3 \
             if collect_telemetry else (jnp.zeros(()),) * 3
 
         def cond(state):

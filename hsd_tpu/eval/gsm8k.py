@@ -125,13 +125,14 @@ def run_eval(cfg_draft: ModelConfig, cfg_target: ModelConfig, params_draft,
             # the reference's compute_speculative_stats.py consumes this
             # artifact directly (ref keys at utils.py:4644-4647; consumption
             # at compute_speculative_stats.py:78-99): draft_eval = drafted
-            # tokens per step, sample_length = committed per step
-            # (accepted + 1), target_eval = committed (the accepted draft
-            # prefix + bonus scored by the one target forward),
-            # total_step = 1 target forward per block in clever mode.
+            # tokens per step (utils.py:4749 `draft_eval += candidate_length`),
+            # sample_length = committed per step (accepted + 1), target_eval
+            # = TARGET FORWARD CALLS per step (utils.py:4750
+            # `target_eval += 1` each speculation round — NOT committed
+            # tokens), total_step = rounds (1 per block in clever mode).
             "draft_eval": [dlens_l],
             "sample_length": [[a + 1 for a in accepts_l]],
-            "target_eval": [[a + 1 for a in accepts_l]],
+            "target_eval": [[1] * nblocks],
             "total_step": [[1] * nblocks],
             "time": [dt],
         })

@@ -40,11 +40,15 @@ class VerifyResult(NamedTuple):
 
 class Telemetry(NamedTuple):
     """Per-block acceptance telemetry, the counterpart of the reference's
-    `counts` / `return_probs=True` channel (utils.py:4644-4647, :5583)."""
+    `counts` / `return_probs=True` channel (utils.py:4644-4647, :5583).
 
-    step_back_probs: jax.Array  # [gamma] float32 (last executed round)
-    p_i: jax.Array              # [gamma] float32
-    q_i: jax.Array              # [gamma] float32
+    Arrays carry one row PER MULTIDRAFT ROUND (the reference accumulates per
+    inner step; rows of rounds that never ran — gated out or already done —
+    stay zero; VerifyResult.rounds says how many ran)."""
+
+    step_back_probs: jax.Array  # [K, gamma] float32
+    p_i: jax.Array              # [K, gamma] float32
+    q_i: jax.Array              # [K, gamma] float32
 
 
 def gather_token_probs(dist: jax.Array, tokens: jax.Array) -> jax.Array:

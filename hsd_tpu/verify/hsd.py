@@ -85,9 +85,9 @@ def verify_hsd(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
     log_jq_seed = jnp.float32(0.0)             # log Jq at the restart position
     log_jp_seed = jnp.float32(0.0)             # log Jp at the restart position
     has_seed = jnp.bool_(False)                # restart row uses carried residual?
-    tel_sbp = jnp.zeros((gamma,), jnp.float32)
-    tel_p = jnp.zeros((gamma,), jnp.float32)
-    tel_q = jnp.zeros((gamma,), jnp.float32)
+    tel_sbp = jnp.zeros((K, gamma), jnp.float32)   # one row per round
+    tel_p = jnp.zeros((K, gamma), jnp.float32)
+    tel_q = jnp.zeros((K, gamma), jnp.float32)
 
     for b in range(K):
         if striped:
@@ -189,9 +189,12 @@ def verify_hsd(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
         has_seed = jnp.where(active, ~full, has_seed)
         rounds = rounds + active.astype(jnp.int32)
         if return_telemetry:
-            tel_sbp = jnp.where(active, jnp.where(valid, sbp, 0.0), tel_sbp)
-            tel_p = jnp.where(active, p_i, tel_p)
-            tel_q = jnp.where(active, q_i, tel_q)
+            # accumulate PER ROUND (ref accumulates per inner step); a round
+            # that never ran leaves its row zero
+            tel_sbp = tel_sbp.at[b].set(
+                jnp.where(active, jnp.where(valid, sbp, 0.0), tel_sbp[b]))
+            tel_p = tel_p.at[b].set(jnp.where(active, p_i, tel_p[b]))
+            tel_q = tel_q.at[b].set(jnp.where(active, q_i, tel_q[b]))
 
     # final token: bonus from p[ind, gamma] on full acceptance, otherwise from
     # the normalized residual at the stop position (ref :5551-5579). If the

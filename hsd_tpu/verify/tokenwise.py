@@ -51,9 +51,9 @@ def verify_tokenwise(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
     has_resid = jnp.bool_(False)                # restart row uses `resid`?
     done = jnp.bool_(False)
     rounds = jnp.int32(0)
-    tel_sbp = jnp.zeros((gamma,), jnp.float32)
-    tel_p = jnp.zeros((gamma,), jnp.float32)
-    tel_q = jnp.zeros((gamma,), jnp.float32)
+    tel_sbp = jnp.zeros((K, gamma), jnp.float32)   # one row per round
+    tel_p = jnp.zeros((K, gamma), jnp.float32)
+    tel_q = jnp.zeros((K, gamma), jnp.float32)
 
     for b in range(K):
         if striped:
@@ -103,9 +103,14 @@ def verify_tokenwise(key: jax.Array, draft_tokens: jax.Array, q: jax.Array,
         done = jnp.where(active, full, done)
         rounds = rounds + active.astype(jnp.int32)
         if return_telemetry:
-            tel_sbp = jnp.where(active, 1.0 - jnp.minimum(p_i / jnp.maximum(q_i, TINY), 1.0), tel_sbp)
-            tel_p = jnp.where(active, p_i.astype(jnp.float32), tel_p)
-            tel_q = jnp.where(active, q_i.astype(jnp.float32), tel_q)
+            # accumulate PER ROUND (ref accumulates per inner step)
+            tel_sbp = tel_sbp.at[b].set(jnp.where(
+                active, 1.0 - jnp.minimum(p_i / jnp.maximum(q_i, TINY), 1.0),
+                tel_sbp[b]))
+            tel_p = tel_p.at[b].set(
+                jnp.where(active, p_i.astype(jnp.float32), tel_p[b]))
+            tel_q = tel_q.at[b].set(
+                jnp.where(active, q_i.astype(jnp.float32), tel_q[b]))
 
     # final token: bonus p[ind, gamma] when fully accepted (already folded into
     # `resid`), otherwise the carried normalized residual.

@@ -72,24 +72,38 @@ def verify_trie_typical(key: jax.Array, candidates: jax.Array, p: jax.Array):
         dup = jnp.any(same & earlier & is_eq[None, :], axis=1)
         usable = is_eq & (~dup) & (tok >= 0)
 
-        def row(c, j):
-            gtp, accepted, bestj, adj = c
-            u = jax.random.uniform(jax.random.fold_in(key, i * R + j))
-            x = tok[j]
-            try_row = usable[j] & (~accepted)
-            acc = try_row & (u <= gtp[jnp.clip(x, 0, V - 1)])
-            rej = try_row & (~acc)
-            gtp_z = gtp.at[jnp.clip(x, 0, V - 1)].set(0.0)
-            s = jnp.sum(gtp_z)
-            gtp_n = jnp.where(s > 0, gtp_z / jnp.maximum(s, TINY), gtp_z)
-            gtp = jnp.where(rej, gtp_n, gtp)
-            bestj = jnp.where(acc, j, bestj)
-            adj = jnp.where(rej, True, adj)
-            return (gtp, accepted | acc, bestj, adj), None
+        # Sequential rejection with zero-and-renormalize composes to
+        # gtp_cur[x_j] = gtp0[x_j] / (1 - m_j), m_j = mass of previously
+        # rejected (distinct, deduped) tokens — so the row loop needs only
+        # SCALAR running-mass accounting, not a [V] renormalization per row
+        # (V = 152k; this was the trie-verify hot loop). The full residual
+        # vector is rebuilt once per level below.
+        xc = jnp.clip(tok, 0, V - 1)
+        probs0 = gtp0[xc]                               # [R] token masses
 
-        (gtp, accepted, bestj, adj), _ = jax.lax.scan(
-            row, (gtp0, jnp.bool_(False), best, jnp.bool_(False)),
+        def row(c, j):
+            m, accepted, bestj, adj, rejf = c
+            u = jax.random.uniform(jax.random.fold_in(key, i * R + j))
+            try_row = usable[j] & (~accepted)
+            acc = try_row & (u <= probs0[j] / jnp.maximum(1.0 - m, TINY))
+            rej = try_row & (~acc)
+            m = jnp.where(rej, m + probs0[j], m)
+            bestj = jnp.where(acc, j, bestj)
+            adj = adj | rej
+            rejf = rejf.at[j].set(rej)
+            return (m, accepted | acc, bestj, adj, rejf), None
+
+        (_, accepted, bestj, adj, rejf), _ = jax.lax.scan(
+            row, (jnp.float32(0.0), jnp.bool_(False), best, jnp.bool_(False),
+                  jnp.zeros((R,), bool)),
             jnp.arange(R))
+        # one [V] residual rebuild per level: zero every rejected token
+        zeroed = jnp.zeros((V,), jnp.float32).at[xc].max(
+            rejf.astype(jnp.float32))
+        gtp_z = gtp0 * (1.0 - zeroed)
+        s = jnp.sum(gtp_z)
+        gtp = jnp.where(adj & (s > 0), gtp_z / jnp.maximum(s, TINY),
+                        jnp.where(adj, gtp_z, gtp0))
 
         acc_len = jnp.where(active & accepted, acc_len + 1, acc_len)
         best = jnp.where(active & accepted, bestj, best)
@@ -141,14 +155,23 @@ def verify_trie_hsd(key: jax.Array, candidates: jax.Array, p: jax.Array,
         idx = jnp.clip(n + rel, 0, L - 1)
         valid = rel < (Lb - n)
         x = candidates[b][idx]
-        # p rows: token at path position j uses p[b, j-1]
-        p_rows = pf[b][jnp.clip(idx - 1, 0, L - 1)]     # [L, V]
-        row0 = jnp.where(jnp.sum(resid) > 0,
-                         resid / jnp.maximum(jnp.sum(resid), TINY),
-                         jnp.zeros((V,)))
-        p_rows = p_rows.at[0].set(jnp.where(has_seed, row0, p_rows[0]))
         xc = jnp.clip(x, 0, V - 1)
-        p_i = jnp.where(valid, p_rows[rel, xc], 1.0)
+        # With one-hot q, every per-position quantity the acceptance logic
+        # needs is a SCALAR function of p_i = p_row[x]:
+        #   s_plus  = r*(1-p_i) + max(r*p_i - e, 0)   (e = 1 valid, 0 pad)
+        #   s_minus = max(e - r*p_i, 0)
+        # so no [L, V] diff/residual matrices are materialized; only the one
+        # residual row the carry keeps (at stop_row) is built below. This
+        # cuts trie-HSD traffic by ~L*V per round (V = 152k).
+        rs = jnp.sum(resid)
+        # p_i: token mass at each window position; position 0 reads the
+        # carried residual seed (normalized lazily — scalar, not [V])
+        p_i_rows = pf[b][jnp.clip(idx - 1, 0, L - 1), xc]   # [L] gathers
+        p_i0_seed = jnp.where(rs > 0, resid[xc[0]] / jnp.maximum(rs, TINY),
+                              0.0)
+        p_i_rows = p_i_rows.at[0].set(
+            jnp.where(has_seed, p_i0_seed, p_i_rows[0]))
+        p_i = jnp.where(valid, p_i_rows, 1.0)
         log_p_i = jnp.where(valid, _safe_log(p_i), 0.0)
 
         seed_p = jnp.where(has_seed, log_jp_seed, 0.0)
@@ -157,15 +180,12 @@ def verify_trie_hsd(key: jax.Array, candidates: jax.Array, p: jax.Array,
         # q-side joints are exactly 1 (one-hot proposals, ref :487-493)
         r = jnp.exp(jnp.minimum(log_jp_prev, 0.0))      # min(Jp, Jq)/Jq
 
-        onehot_x = jax.nn.one_hot(xc, V, dtype=jnp.float32) \
-            * valid[:, None].astype(jnp.float32)
-        diffs = r[:, None] * p_rows - onehot_x
-        p_plus = jnp.maximum(diffs, 0.0)
-        s_plus = jnp.sum(p_plus, -1)
-        s_minus = jnp.sum(jnp.maximum(-diffs, 0.0), -1)
+        e = valid.astype(jnp.float32)
+        rp = r * jnp.where(valid, p_i, 0.0)             # r * p_row[x]
+        s_plus = r * (1.0 - jnp.where(valid, p_i, 0.0)) \
+            + jnp.maximum(rp - e, 0.0)
+        s_minus = jnp.maximum(e - rp, 0.0)
         denom = jnp.maximum(s_plus, s_minus)
-        p_primes = jnp.where(denom[:, None] > 0,
-                             p_plus / jnp.maximum(denom, TINY)[:, None], 0.0)
         sbp = jnp.where(denom > 0, 1.0 - s_plus / jnp.maximum(denom, TINY),
                         1.0)
         # ref :566 — never step back where the joint ratio already >= 1
@@ -189,8 +209,19 @@ def verify_trie_hsd(key: jax.Array, candidates: jax.Array, p: jax.Array,
         csm = jnp.where(accept_all, num_valid, stop_rel)
         n_new = n + csm
 
+        # build ONLY the residual row at stop_row:
+        #   p_prime = max(r_s * p_row_s - e_s * onehot(x_s), 0) / denom_s
         stop_row = jnp.clip(csm, 0, L - 1)
-        new_resid = p_primes[stop_row]
+        p_row_s = pf[b][jnp.clip(idx[stop_row] - 1, 0, L - 1)]  # [V]
+        row0_s = jnp.where(rs > 0, resid / jnp.maximum(rs, TINY),
+                           jnp.zeros((V,)))
+        p_row_s = jnp.where(has_seed & (stop_row == 0), row0_s, p_row_s)
+        y = r[stop_row] * p_row_s
+        y = y.at[xc[stop_row]].add(-e[stop_row])
+        d_s = denom[stop_row]
+        new_resid = jnp.where(d_s > 0,
+                              jnp.maximum(y, 0.0) / jnp.maximum(d_s, TINY),
+                              jnp.zeros((V,)))
         new_seed = log_jp_prev[stop_row]
 
         n = jnp.where(active, n_new, n)

@@ -86,9 +86,13 @@ def test_telemetry_channel():
     d, q, p = _problem(jax.random.PRNGKey(9), K=1)
     res, tel = verify("hsd", jax.random.PRNGKey(2), d, q, p, return_telemetry=True)
     gamma = d.shape[1]
-    assert tel.step_back_probs.shape == (gamma,)
+    K = d.shape[0]
+    # one telemetry row per multidraft round (ref accumulates per inner step)
+    assert tel.step_back_probs.shape == (K, gamma)
     sbp = np.asarray(tel.step_back_probs)
     assert ((sbp >= 0) & (sbp <= 1)).all()
+    # round 0 always runs: its p_i row is populated (valid positions <= 1.0)
+    assert np.asarray(tel.p_i)[0].max() > 0
 
 
 def test_forward_sampling_step():

@@ -50,13 +50,24 @@ def qwen_chat_wrap(user_text: str) -> str:
             "<|im_start|>assistant\n")
 
 
-def default_prompt_path() -> str:
-    """Packaged original few-shot CoT prompt library (the counterpart of the
-    reference's `lib_prompt/prompt_original.txt`, G5 in SURVEY.md §2.2 —
-    self-composed problems, same `Question:/Let's think step by step/The
-    answer is N` shape)."""
-    return os.path.join(os.path.dirname(__file__), "lib_prompt",
-                        "prompt_original.txt")
+def default_prompt_path(name: str = "original") -> str:
+    """Packaged few-shot CoT prompt library (the counterpart of the
+    reference's `lib_prompt/`, G5 in SURVEY.md §2.2 — self-composed /
+    template-generated problems with the same `Question:/Let's think step by
+    step/The answer is N` shape and the same 27 variant file names; see
+    eval/prompt_library.py). `name` is a variant stem, e.g. "original",
+    "hardest" (the reference harness's own default,
+    eval_speculative_decoding_llm.py:378), "easy", "semicolon",
+    "8x8step"..."""
+    path = os.path.join(os.path.dirname(__file__), "lib_prompt",
+                        f"prompt_{name}.txt")
+    if not os.path.exists(path):
+        import glob as _g
+        have = sorted(os.path.basename(p)[len("prompt_"):-4] for p in _g.glob(
+            os.path.join(os.path.dirname(__file__), "lib_prompt",
+                         "prompt_*.txt")))
+        raise FileNotFoundError(f"no prompt variant {name!r}; have {have}")
+    return path
 
 
 def build_prompt(question: str, shots_text: str) -> str:

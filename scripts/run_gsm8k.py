@@ -34,10 +34,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True, help="GSM8K test.jsonl path")
     ap.add_argument("--prompt-file", default=None,
-                    help="few-shot CoT prompt text; defaults to the packaged "
-                         "original 8-shot library (hsd_tpu/eval/lib_prompt/"
-                         "prompt_original.txt — the counterpart of the "
-                         "reference's lib_prompt/prompt_original.txt)")
+                    help="explicit few-shot CoT prompt text file (overrides "
+                         "--prompt)")
+    ap.add_argument("--prompt", default="original",
+                    help="packaged prompt-library variant stem (hsd_tpu/eval/"
+                         "lib_prompt/prompt_<NAME>.txt): original, hardest "
+                         "(the reference harness default), easy/mid/hard, "
+                         "semicolon/exclamation/explicit/no_break, "
+                         "simple_4_cases[_ao], 8x8step/6_9step/..., "
+                         "short/mid_length/long_questions, longest, random")
     ap.add_argument("--draft-path", default=None)
     ap.add_argument("--target-path", default=None)
     ap.add_argument("--tokenizer-path", default=None)
@@ -129,7 +134,7 @@ def main():
         tok = ByteTokenizer()
 
     from hsd_tpu.eval.gsm8k import default_prompt_path
-    prompt_file = args.prompt_file or default_prompt_path()
+    prompt_file = args.prompt_file or default_prompt_path(args.prompt)
     shots = open(prompt_file).read()
     qs = load_gsm8k_jsonl(args.data, limit=args.limit or None,
                           stride=args.stride)

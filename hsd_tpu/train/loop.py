@@ -26,7 +26,9 @@ def train_loop(state: TrainState,
                ckpt_dir: Optional[str] = None,
                save_every_epochs: int = 1,
                logger: Optional[MetricLogger] = None,
-               log_every: int = 10) -> TrainState:
+               log_every: int = 10,
+               epoch_probe: Optional[Callable] = None,
+               probe_batches: int = 10) -> TrainState:
     """Run `num_epochs` over `data_epochs(epoch) -> iterable of (ids, mask)`.
 
     - auto-resume: when ckpt_dir holds a state_N directory, restores it and
@@ -34,7 +36,12 @@ def train_loop(state: TrainState,
       reference resumes at epoch granularity, traineagle3/main.py:239-263;
       here resume is step-exact within the epoch);
     - checkpoints every `save_every_epochs` epochs (and at the end);
-    - logs step metrics every `log_every` steps via MetricLogger.
+    - logs step metrics every `log_every` steps via MetricLogger;
+    - epoch_probe: optional `probe(params_e, params_target, ids, mask) ->
+      metrics` run after every epoch on up to `probe_batches` fresh batches
+      (the reference's between-epoch getkacc evaluation on <=10 test
+      batches, train/main.py:420-424; use `train.probes.make_kacc_probe`),
+      mean-aggregated and logged with an `eval/` prefix.
     """
     start_step = 0
     if ckpt_dir is not None:
@@ -56,6 +63,20 @@ def train_loop(state: TrainState,
                 metrics = {k: float(v) for k, v in metrics.items()}
                 metrics["epoch"] = epoch
                 logger.log(metrics, step=seen)
+        if epoch_probe is not None and seen > start_step:
+            agg: dict = {}
+            nb = 0
+            for batch in data_epochs(epoch):
+                if nb >= probe_batches:
+                    break
+                ids, mask = batch
+                for k, v in epoch_probe(state.params, params_target, ids,
+                                        mask).items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+                nb += 1
+            if nb and logger is not None:
+                logger.log({f"eval/{k}": v / nb for k, v in agg.items()}
+                           | {"epoch": epoch}, step=seen)
         if (ckpt_dir is not None and (epoch + 1) % save_every_epochs == 0
                 and latest_checkpoint_step(ckpt_dir) != int(state.step)):
             # (the latest-step guard skips re-saving during replay-skip

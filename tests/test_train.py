@@ -199,3 +199,31 @@ def test_kacc_chain_property():
     assert kacc.shape == (4,)
     assert (kacc >= 0).all() and (kacc <= 1).all()
     assert kacc[0] >= kacc[-1] - 1e-9
+
+
+def test_train_loop_epoch_probe(tmp_path):
+    """epoch_probe wiring: the between-epoch kacc evaluation (ref
+    main.py:420-424) runs on probe_batches batches and logs eval/-prefixed
+    mean metrics."""
+    import json
+    from hsd_tpu.train.loop import train_loop
+    from hsd_tpu.train.probes import make_kacc_probe
+    from hsd_tpu.utils.logging import MetricLogger
+
+    pt, state, step, ids, lm = _setup()
+    probe = make_kacc_probe(TCFG, ECFG, max_length=3, max_probes=4)
+
+    def data(epoch):
+        return [(ids, lm)] * 2
+
+    logger = MetricLogger(path=str(tmp_path / "m.jsonl"))
+    train_loop(state, step, pt, data, num_epochs=1, logger=logger,
+               log_every=1, epoch_probe=probe, probe_batches=2)
+    logger.close()
+    rows = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    eval_rows = [r for r in rows if any(k.startswith("eval/") for k in r)]
+    assert eval_rows, rows
+    r = eval_rows[-1]
+    for i in range(3):
+        assert f"eval/kacc_{i}" in r
+        assert 0.0 <= r[f"eval/kacc_{i}"] <= 1.0

@@ -17,3 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(__file__))
+
+# Persistent XLA compile cache: the suite is compile-dominated (~190 jitted
+# programs); caching compiles across runs cuts repeat wall time several-fold.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -215,7 +215,10 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
             cand = jnp.where(ri >= 0,
                              jnp.take(trie.draft_tokens,
                                       jnp.clip(ri, 0, N), axis=0), -1)
-            p_paths = jnp.take(probs, jnp.clip(ri, 0, N), axis=0)
+            # (probs, ri) tuple layout: the verifiers gather per-node rows
+            # on demand instead of materializing the [R, Lpath, V] path
+            # duplicate (~8x the node probabilities; verify/trie._paths_view)
+            p_paths = (probs, ri)
             if mode == "greedy":
                 best, acc_len, sample_p = verify_trie_greedy(cand, p_paths)
             elif mode == "typical":

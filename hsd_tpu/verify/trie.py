@@ -34,16 +34,59 @@ def _safe_log(x):
     return jnp.where(x > 0, jnp.log(jnp.maximum(x, TINY)), -jnp.inf)
 
 
+def _paths_view(p, L):
+    """Normalize the two accepted `p` layouts into accessors.
+
+    p is either the materialized per-path rows [R, L, V] or the tuple
+    (probs [N+1, V], retrieve_indices [R, L]) straight from the engine —
+    the tuple form avoids materializing the path gather (R*L*V floats;
+    291 MB at production shape, ~8x the node probabilities it duplicates).
+
+    Returns (row(r, j) -> [V] f32, vals(r, idx [L], xc [L]) -> [L] f32, V).
+    """
+    if isinstance(p, tuple):
+        probs, ri = p
+        probs = probs.astype(jnp.float32)
+        N1 = probs.shape[0]
+
+        def row(r, j):
+            return probs[jnp.clip(ri[r, j], 0, N1 - 1)]
+
+        def vals(r, idx, xc):
+            nodes = jnp.clip(ri[r][jnp.clip(idx, 0, L - 1)], 0, N1 - 1)
+            return probs[nodes, xc]
+
+        return row, vals, probs.shape[-1]
+    pf = p.astype(jnp.float32)
+
+    def row(r, j):
+        return pf[r, j]
+
+    def vals(r, idx, xc):
+        return pf[r][jnp.clip(idx, 0, L - 1), xc]
+
+    return row, vals, pf.shape[-1]
+
+
 def verify_trie_greedy(candidates: jax.Array, p: jax.Array):
     """Greedy path acceptance (ref :362-375). p may be raw probabilities or
-    one-hot; only argmax is used."""
+    one-hot; only argmax is used. Accepts the (probs, retrieve_indices)
+    tuple layout (_paths_view) — there the argmax runs ONCE per node instead
+    of once per (path, level) duplicate."""
     R, L = candidates.shape
-    tgt = jnp.argmax(p, axis=-1)                       # [R, L]
+    if isinstance(p, tuple):
+        probs, ri = p
+        N1 = probs.shape[0]
+        node_arg = jnp.argmax(probs, axis=-1)          # [N+1]
+        tgt = node_arg[jnp.clip(ri, 0, N1 - 1)]        # [R, L]
+    else:
+        tgt = jnp.argmax(p, axis=-1)                   # [R, L]
     match = (candidates[:, 1:] == tgt[:, :-1]) & (candidates[:, 1:] >= 0)
     acc_len = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
     accept_length = jnp.max(acc_len)
     best = jnp.where(accept_length == 0, 0, jnp.argmax(acc_len))
-    sample_p = p[best, accept_length]
+    row, _, _ = _paths_view(p, L)
+    sample_p = row(best, accept_length)
     return best.astype(jnp.int32), accept_length.astype(jnp.int32), sample_p
 
 
@@ -53,7 +96,7 @@ def verify_trie_typical(key: jax.Array, candidates: jax.Array, p: jax.Array):
     gtp[x]; on rejection zero gtp[x] and renormalize (recursive rejection
     with one-hot q — exactly lossless)."""
     R, L = candidates.shape
-    V = p.shape[-1]
+    prow, _, V = _paths_view(p, L)
 
     def level(carry, i):
         acc_len, best, sample_p, adjust, done = carry
@@ -64,7 +107,7 @@ def verify_trie_typical(key: jax.Array, candidates: jax.Array, p: jax.Array):
         is_eq = jnp.all(jnp.where(pos < i[None], candidates == prefix[None],
                                   True), axis=1)
         fi = jnp.argmax(is_eq)                          # first matching row
-        gtp0 = p[fi, i - 1]                             # target dist at level
+        gtp0 = prow(fi, i - 1)                          # target dist at level
         # dedup: a token counts only at its first matching row (ref :395-398)
         tok = candidates[:, jnp.clip(i, 0, L - 1)]
         same = (tok[None, :] == tok[:, None])           # [R, R]
@@ -112,13 +155,13 @@ def verify_trie_typical(key: jax.Array, candidates: jax.Array, p: jax.Array):
         done = done | (active & (~accepted))
         return (acc_len, best, sample_p, adjust, done), None
 
-    init = (jnp.int32(1), jnp.int32(0), p[0, 0], jnp.bool_(False),
+    init = (jnp.int32(1), jnp.int32(0), prow(0, 0), jnp.bool_(False),
             jnp.bool_(False))
     (acc_len, best, gtp, adjust, done), _ = jax.lax.scan(
         level, init, jnp.arange(1, L))
 
     use_resid = adjust & (acc_len != L)
-    bonus = p[best, jnp.clip(acc_len - 1, 0, L - 1)]
+    bonus = prow(best, jnp.clip(acc_len - 1, 0, L - 1))
     sample_p = jnp.where(use_resid, gtp, bonus)
     return best.astype(jnp.int32), (acc_len - 1).astype(jnp.int32), sample_p
 
@@ -138,8 +181,7 @@ def verify_trie_hsd(key: jax.Array, candidates: jax.Array, p: jax.Array,
     committed reference (EAGLE utils.py:585).
     """
     R, L = candidates.shape
-    V = p.shape[-1]
-    pf = p.astype(jnp.float32)
+    prow, pvals, V = _paths_view(p, L)
     row_len = jnp.sum((candidates >= 0).astype(jnp.int32), axis=1)  # [R]
     rel = jnp.arange(L)
 
@@ -166,7 +208,7 @@ def verify_trie_hsd(key: jax.Array, candidates: jax.Array, p: jax.Array,
         rs = jnp.sum(resid)
         # p_i: token mass at each window position; position 0 reads the
         # carried residual seed (normalized lazily — scalar, not [V])
-        p_i_rows = pf[b][jnp.clip(idx - 1, 0, L - 1), xc]   # [L] gathers
+        p_i_rows = pvals(b, idx - 1, xc)                    # [L] gathers
         p_i0_seed = jnp.where(rs > 0, resid[xc[0]] / jnp.maximum(rs, TINY),
                               0.0)
         p_i_rows = p_i_rows.at[0].set(
@@ -212,7 +254,7 @@ def verify_trie_hsd(key: jax.Array, candidates: jax.Array, p: jax.Array,
         # build ONLY the residual row at stop_row:
         #   p_prime = max(r_s * p_row_s - e_s * onehot(x_s), 0) / denom_s
         stop_row = jnp.clip(csm, 0, L - 1)
-        p_row_s = pf[b][jnp.clip(idx[stop_row] - 1, 0, L - 1)]  # [V]
+        p_row_s = prow(b, jnp.clip(idx[stop_row] - 1, 0, L - 1))  # [V]
         row0_s = jnp.where(rs > 0, resid / jnp.maximum(rs, TINY),
                            jnp.zeros((V,)))
         p_row_s = jnp.where(has_seed & (stop_row == 0), row0_s, p_row_s)
@@ -240,7 +282,7 @@ def verify_trie_hsd(key: jax.Array, candidates: jax.Array, p: jax.Array,
         round_, init, jnp.arange(R))
 
     # final sampling distribution (ref :607-627)
-    bonus = pf[ind, jnp.clip(last_lb - 1, 0, L - 1)]
+    bonus = prow(ind, jnp.clip(last_lb - 1, 0, L - 1))
     rs = jnp.sum(resid)
     fb_idx = jnp.where(n + 1 < last_lb, jnp.clip(n + 1, 0, L - 1),
                        jnp.clip(n, 0, L - 1))

@@ -36,20 +36,21 @@ ITERS = int(os.environ.get("TRIE_ITERS", 64))
 
 
 def build_case(key):
-    """Random-but-plausible candidates + path probability rows."""
+    """Random-but-plausible candidates + node probabilities + retrieve map.
+
+    Returns (cand [R, L], probs [R, V], ri [R, L]) — the engine's native
+    tuple layout; the materialized [R, L, V] rows are derived from it."""
     k1, k2, k3 = jax.random.split(key, 3)
     cand = jax.random.randint(k1, (R, L), 0, V, dtype=jnp.int32)
     # ragged path lengths like a real trie (root always present)
     lens = jax.random.randint(k2, (R,), 2, L + 1)
     cand = jnp.where(jnp.arange(L)[None, :] < lens[:, None], cand, -1)
-    logits = jax.random.normal(k3, (R, L, V), jnp.float32)
+    ri = jnp.where(jnp.arange(L)[None, :] < lens[:, None],
+                   jax.random.randint(k2, (R, L), 0, R, dtype=jnp.int32), -1)
+    logits = jax.random.normal(k3, (R, V), jnp.float32)
     # sharpen so acceptance paths vary (flat random would reject instantly)
-    p = jax.nn.softmax(4.0 * logits, -1)
-    # give drafted tokens decent mass: mix in one-hot of the candidate
-    onehot = jax.nn.one_hot(jnp.clip(cand, 0, V - 1), V, dtype=jnp.float32)
-    p = 0.5 * p + 0.5 * jnp.roll(onehot, -1, axis=1)
-    p = p / jnp.sum(p, -1, keepdims=True)
-    return cand, p
+    probs = jax.nn.softmax(4.0 * logits, -1)
+    return cand, probs, ri
 
 
 def make_chain(mode):
@@ -64,16 +65,17 @@ def make_chain(mode):
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def chain(key, cand, p, n):
+        # no per-iteration tensor perturbation: within ONE jitted fori_loop
+        # each iteration already differs (fold_in(key, i)) and iterations
+        # chain through acc_sum, so nothing can be elided or merged. (An
+        # earlier version renormalized the full [R, L, V] p per iteration —
+        # 580 MB/iter of artificial traffic that dominated the slope.)
         def body(i, carry):
             acc_sum, feedback = carry
-            k = jax.random.fold_in(key, i)
-            # data dependence: perturb p by the previous result so the relay
-            # cannot elide repeated identical dispatches
-            pp = p * (1.0 + feedback * 1e-9)
-            pp = pp / jnp.sum(pp, -1, keepdims=True)
-            best, acc, sp = one(k, cand, pp)
-            return (acc_sum + acc, sp[0].astype(jnp.float32))
-        out = jax.lax.fori_loop(0, n, body, (jnp.int32(0), jnp.float32(0.0)))
+            k = jax.random.fold_in(key, i + feedback)
+            best, acc, sp = one(k, cand, p)
+            return (acc_sum + acc, best * 0)
+        out = jax.lax.fori_loop(0, n, body, (jnp.int32(0), jnp.int32(0)))
         return out[0]
 
     return chain
@@ -100,13 +102,19 @@ def slope(mode, cand, p, iters=ITERS):
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    cand, p = build_case(jax.random.PRNGKey(0))
-    jax.block_until_ready(p)
+    cand, probs, ri = build_case(jax.random.PRNGKey(0))
+    p_mat = jnp.take(probs, jnp.clip(ri, 0, R - 1), axis=0)
+    jax.block_until_ready(p_mat)
     out = {"shape": {"R": R, "L": L, "V": V}}
     for mode in ("greedy", "typical", "hsd"):
-        ms = slope(mode, cand, p) * 1e3
+        ms = slope(mode, cand, (probs, ri)) * 1e3
         out[f"{mode}_ms_per_block"] = round(ms, 4)
-        print(f"{mode:8s} {ms:8.3f} ms/block", flush=True)
+        print(f"{mode:8s} {ms:8.3f} ms/block (tuple layout)", flush=True)
+    if int(os.environ.get("TRIE_MATERIALIZED", "0")):
+        for mode in ("typical", "hsd"):
+            ms = slope(mode, cand, p_mat) * 1e3
+            out[f"{mode}_ms_per_block_mat"] = round(ms, 4)
+            print(f"{mode:8s} {ms:8.3f} ms/block (materialized)", flush=True)
     print(json.dumps(out))
 
 

@@ -181,3 +181,29 @@ def test_eagle_v1_sampling_smoke(models):
     gen = make_eagle_generate(TCFG, ECFG1, eng, mode="hsd")
     res = gen(pt, pe1, prompt, jnp.int32(8), jax.random.PRNGKey(13))
     assert 1 <= int(res.ncommit) <= 8
+
+
+def test_paths_view_tuple_parity():
+    """(probs, retrieve_indices) tuple layout == materialized [R, L, V]
+    rows, bit-for-bit, for all three trie verifiers on the same keys (the
+    engine passes the tuple to avoid the R*L*V path duplicate)."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    R, L, V, N1 = 12, 5, 33, 16
+    probs = jax.nn.softmax(
+        jnp.asarray(rng.normal(0, 2, (N1, V)), jnp.float32), -1)
+    ri = jnp.asarray(rng.integers(0, N1, (R, L)), jnp.int32)
+    lens = rng.integers(2, L + 1, (R,))
+    ri = jnp.where(jnp.arange(L)[None] < lens[:, None], ri, -1)
+    cand = jnp.where(ri >= 0, jnp.asarray(
+        rng.integers(0, V, (R, L)), jnp.int32), -1)
+    p_mat = jnp.take(probs, jnp.clip(ri, 0, N1 - 1), axis=0)
+    for seed in range(3):
+        k = jax.random.PRNGKey(seed)
+        for fn in (lambda c, p: verify_trie_greedy(c, p),
+                   lambda c, p: verify_trie_typical(k, c, p),
+                   lambda c, p: verify_trie_hsd(k, c, p)):
+            b1, a1, s1 = fn(cand, p_mat)
+            b2, a2, s2 = fn(cand, (probs, ri))
+            assert int(b1) == int(b2) and int(a1) == int(a2)
+            np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))

@@ -117,29 +117,27 @@ def verify_trie_typical(key: jax.Array, candidates: jax.Array, p: jax.Array):
 
         # Sequential rejection with zero-and-renormalize composes to
         # gtp_cur[x_j] = gtp0[x_j] / (1 - m_j), m_j = mass of previously
-        # rejected (distinct, deduped) tokens — so the row loop needs only
-        # SCALAR running-mass accounting, not a [V] renormalization per row
-        # (V = 152k; this was the trie-verify hot loop). The full residual
-        # vector is rebuilt once per level below.
+        # rejected (distinct, deduped) tokens. The chain also stops at the
+        # FIRST acceptance, so every row before it was tried-and-rejected —
+        # which makes m_j simply the EXCLUSIVE cumsum of usable token mass.
+        # The whole row loop therefore has a closed vectorized form: no scan
+        # (R sequential steps x ~7us loop latency was the verify hot cost,
+        # scripts/bench_trie_verify.py), no [V] renormalization per row.
+        # The residual vector is rebuilt once per level below.
         xc = jnp.clip(tok, 0, V - 1)
         probs0 = gtp0[xc]                               # [R] token masses
-
-        def row(c, j):
-            m, accepted, bestj, adj, rejf = c
-            u = jax.random.uniform(jax.random.fold_in(key, i * R + j))
-            try_row = usable[j] & (~accepted)
-            acc = try_row & (u <= probs0[j] / jnp.maximum(1.0 - m, TINY))
-            rej = try_row & (~acc)
-            m = jnp.where(rej, m + probs0[j], m)
-            bestj = jnp.where(acc, j, bestj)
-            adj = adj | rej
-            rejf = rejf.at[j].set(rej)
-            return (m, accepted | acc, bestj, adj, rejf), None
-
-        (_, accepted, bestj, adj, rejf), _ = jax.lax.scan(
-            row, (jnp.float32(0.0), jnp.bool_(False), best, jnp.bool_(False),
-                  jnp.zeros((R,), bool)),
-            jnp.arange(R))
+        # identical draws to the sequential loop (fold_in per row index)
+        u = jax.vmap(lambda j: jax.random.uniform(
+            jax.random.fold_in(key, i * R + j)))(jnp.arange(R))
+        pu = jnp.where(usable, probs0, 0.0)
+        m = jnp.cumsum(pu) - pu                         # exclusive cumsum
+        acc_flags = usable & (u <= probs0 / jnp.maximum(1.0 - m, TINY))
+        accepted = jnp.any(acc_flags)
+        first = jnp.argmax(acc_flags)
+        bestj = jnp.where(accepted, first, best)
+        # rows tried before the acceptance point were all rejected
+        rejf = usable & (jnp.arange(R) < jnp.where(accepted, first, R))
+        adj = jnp.any(rejf)
         # one [V] residual rebuild per level: zero every rejected token
         zeroed = jnp.zeros((V,), jnp.float32).at[xc].max(
             rejf.astype(jnp.float32))
@@ -185,13 +183,25 @@ def verify_trie_hsd(key: jax.Array, candidates: jax.Array, p: jax.Array,
     row_len = jnp.sum((candidates >= 0).astype(jnp.int32), axis=1)  # [R]
     rel = jnp.arange(L)
 
-    def round_(carry, b):
-        n, ind, resid, log_jp_seed, has_seed, done, last_lb = carry
+    def body_fn(st):
+        b, n, ind, resid, log_jp_seed, has_seed, done, last_lb = st
         prefix = candidates[ind]
         pos = jnp.arange(L)
         gate = jnp.all(jnp.where(pos < n, candidates[b] == prefix, True))
-        active = (~done) & gate
         Lb = row_len[b]
+
+        def skip(_):
+            return n, ind, resid, log_jp_seed, has_seed, done, last_lb
+
+        def heavy(_):
+            return _hsd_round(b, n, resid, log_jp_seed, has_seed, Lb)
+
+        out = jax.lax.cond(gate, heavy, skip, None)
+        return (b + 1,) + out
+
+    def _hsd_round(b, n, resid, log_jp_seed, has_seed, Lb):
+        """One gate-passing verification round (active == True throughout —
+        the while/cond wrapper already established ~done & gate)."""
 
         # window over positions n..Lb-1 (length Lb - n), fixed size L
         idx = jnp.clip(n + rel, 0, L - 1)
@@ -266,20 +276,22 @@ def verify_trie_hsd(key: jax.Array, candidates: jax.Array, p: jax.Array,
                               jnp.zeros((V,)))
         new_seed = log_jp_prev[stop_row]
 
-        n = jnp.where(active, n_new, n)
-        ind = jnp.where(active, b, ind)
-        resid = jnp.where(active, new_resid, resid)
-        log_jp_seed = jnp.where(active, new_seed, log_jp_seed)
-        has_seed = jnp.where(active, True, has_seed)
-        done = done | (active & (n_new >= L))
-        last_lb = jnp.where(active, Lb, last_lb)
-        return (n, ind, resid, log_jp_seed, has_seed, done, last_lb), None
+        return (n_new, b, new_resid, new_seed, jnp.bool_(True),
+                n_new >= L, Lb)
 
-    init = (jnp.int32(1), jnp.int32(0), jnp.zeros((V,), jnp.float32),
-            jnp.float32(0.0), jnp.bool_(False), jnp.bool_(False),
-            row_len[0])
-    (n, ind, resid, _, _, _, last_lb), _ = jax.lax.scan(
-        round_, init, jnp.arange(R))
+    def cond_fn(st):
+        b, done = st[0], st[6]
+        return (b < R) & (~done)
+
+    init = (jnp.int32(0), jnp.int32(1), jnp.int32(0),
+            jnp.zeros((V,), jnp.float32), jnp.float32(0.0),
+            jnp.bool_(False), jnp.bool_(False), row_len[0])
+    # while_loop + cond instead of a scan over all R rows: rounds after
+    # full acceptance never run, and gate-failing rows pay only the [L]
+    # prefix compare, not the [V] residual build — the R sequential round
+    # bodies were the trie-HSD hot cost (scripts/bench_trie_verify.py)
+    (_, n, ind, resid, _, _, _, last_lb) = jax.lax.while_loop(
+        cond_fn, body_fn, init)
 
     # final sampling distribution (ref :607-627)
     bonus = prow(ind, jnp.clip(last_lb - 1, 0, L - 1))

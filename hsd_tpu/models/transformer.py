@@ -272,7 +272,9 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
             cache: KVCache, attn_bias: Optional[jax.Array] = None,
             positions: Optional[jax.Array] = None,
             feature_layers: Optional[Tuple[int, ...]] = None,
-            tp_axis: Optional[str] = None):
+            tp_axis: Optional[str] = None,
+            hidden_in: Optional[jax.Array] = None,
+            skip_head: bool = False):
     """Run the decoder over `tokens` [B, T] appending to `cache`.
 
     Returns (logits [B, T, V] float32, updated cache with length += T).
@@ -287,6 +289,12 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
     this function then psums the row-sharded matmuls (o_proj, down_proj,
     MoE expert sum) explicitly. This is how the Pallas kernels run under
     tensor parallelism — GSPMD cannot partition the custom call.
+
+    hidden_in / skip_head: pipeline-parallel stage hooks (parallel.pp):
+    a mid-pipeline stage enters with the previous stage's hidden stream
+    instead of embedding `tokens`, and exits with the RAW pre-final-norm
+    hidden (in place of logits) for the next stage. `tokens` is still used
+    for shapes/positions.
     """
     B, T = tokens.shape
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
@@ -303,7 +311,9 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         # RoPE positions discount the dead left-pad region
         positions = jnp.maximum(q_index - cache.start[:, None], 0)
 
-    if isinstance(params.embed, QuantizedEmbedding):
+    if hidden_in is not None:
+        x = hidden_in.astype(cfg.dtype)
+    elif isinstance(params.embed, QuantizedEmbedding):
         rows = jnp.take(params.embed.codes, tokens, axis=0).astype(jnp.float32)
         sc = jnp.take(params.embed.scale, tokens, axis=0).astype(jnp.float32)
         x = (rows * sc[..., None]).astype(cfg.dtype)
@@ -393,6 +403,11 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
     else:
         # feature_layers == (-1,): EAGLE-1/2 stream = final pre-norm hidden
         feats = x
+    if skip_head:
+        new_cache = cache._replace(k=k_new, v=v_new, length=cache.length + T)
+        if feature_layers is not None:
+            return x, new_cache, feats
+        return x, new_cache
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     if params.lm_head is None:
         assert not isinstance(params.embed, QuantizedEmbedding), \

@@ -274,7 +274,8 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
             feature_layers: Optional[Tuple[int, ...]] = None,
             tp_axis: Optional[str] = None,
             hidden_in: Optional[jax.Array] = None,
-            skip_head: bool = False):
+            skip_head: bool = False,
+            ring_axis: Optional[str] = None):
     """Run the decoder over `tokens` [B, T] appending to `cache`.
 
     Returns (logits [B, T, V] float32, updated cache with length += T).
@@ -295,6 +296,13 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
     instead of embedding `tokens`, and exits with the RAW pre-final-norm
     hidden (in place of logits) for the next stage. `tokens` is still used
     for shapes/positions.
+
+    ring_axis: sequence-parallel PREFILL (parallel.sp): running inside a
+    shard_map whose `ring_axis` shards the TOKEN axis, attention runs as
+    exact ring attention over the travelling K/V blocks
+    (ops/ring_attention.py) instead of against the cache buffer. Requires
+    an empty local cache (prefill-from-scratch) and explicit GLOBAL
+    `positions`.
     """
     B, T = tokens.shape
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
@@ -369,10 +377,17 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
         k_all, v_all = append_layer_stacked(k_all, v_all, idx, cache.length,
                                             k, v)
-        k_buf = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
-        v_buf = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
-        att = _attention(q, k_buf, v_buf, q_index, cache.length, cache.start,
-                         attn_bias)
+        if ring_axis is not None:
+            from ..ops.ring_attention import ring_attention
+            att = ring_attention(q, k, v, positions, ring_axis
+                                 ).astype(q.dtype)
+        else:
+            k_buf = jax.lax.dynamic_index_in_dim(k_all, idx, 0,
+                                                 keepdims=False)
+            v_buf = jax.lax.dynamic_index_in_dim(v_all, idx, 0,
+                                                 keepdims=False)
+            att = _attention(q, k_buf, v_buf, q_index, cache.length,
+                             cache.start, attn_bias)
         x = x + reduce_tp(lin("wo", att.reshape(B, T, H * hd)))
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
         if "gate" in names:

@@ -101,23 +101,27 @@ class SlotEngine:
         eos = cfg_t.eos_token_id
         max_new = self.engine.max_new_tokens
 
-        def slot_block(tokens, length, prompt_end, active, acc_sum, blk_cnt,
-                       dcache, tcache, key):
-            """One speculative block for one slot (masked by `active`)."""
+        def slot_block(params_d, params_t, tokens, length, prompt_end,
+                       active, acc_sum, blk_cnt, dcache, tcache, key):
+            """One speculative block for one slot (masked by `active`).
+
+            params ride as ARGUMENTS, never closure constants: closed-over
+            weights embed into the serialized HLO and blow the remote
+            compiler's request limit (HTTP 413) at real model sizes."""
             kd, kv = jax.random.split(key)
             last = tokens[length - 1]
             if striped:
                 draft_toks, q, dcache2 = _draft_block_striped(
-                    cfg_d, self.params_d, dcache, tokens[length - 2], last,
+                    cfg_d, params_d, dcache, tokens[length - 2], last,
                     kd, gamma, K, temp)
             else:
                 draft_toks, q, dcache2 = _draft_block(
-                    cfg_d, self.params_d, dcache, tokens[length - 2], last,
+                    cfg_d, params_d, dcache, tokens[length - 2], last,
                     kd, gamma, temp)
             tgt_in = jnp.concatenate(
                 [jnp.broadcast_to(last, (R, 1)).astype(jnp.int32),
                  draft_toks], 1)
-            tlogits, tcache2 = transformer.forward(cfg_t, self.params_t,
+            tlogits, tcache2 = transformer.forward(cfg_t, params_t,
                                                    tgt_in, tcache)
             p = temp(tlogits)
             res = verify(method, kv, draft_toks, q, p, num_drafts=K,
@@ -155,19 +159,21 @@ class SlotEngine:
                     tcache3)
 
         # donate the big per-slot buffers: the step updates state in place
-        # instead of allocating a second copy of every cache each step
-        self._step = jax.jit(jax.vmap(slot_block),
-                             donate_argnums=(0, 1, 4, 5, 6, 7))
+        # instead of allocating a second copy of every cache each step.
+        # vmap maps the slot axis; params broadcast (in_axes None)
+        self._step = jax.jit(
+            jax.vmap(slot_block, in_axes=(None, None) + (0,) * 9),
+            donate_argnums=(2, 3, 6, 7, 8, 9))
 
-        def prefill(prompt, prompt_len):
+        def prefill(params_d, params_t, prompt, prompt_len):
             start = jnp.broadcast_to(self.bucket - prompt_len,
                                      (R,)).astype(jnp.int32)
             dcache = init_cache(cfg_d, R, S)._replace(start=start)
             tcache = init_cache(cfg_t, R, S)._replace(start=start)
             pk = jnp.broadcast_to(prompt[None, :], (R, self.bucket))
-            _, dcache = transformer.forward(cfg_d, self.params_d, pk[:, :-2],
+            _, dcache = transformer.forward(cfg_d, params_d, pk[:, :-2],
                                             dcache)
-            _, tcache = transformer.forward(cfg_t, self.params_t, pk[:, :-1],
+            _, tcache = transformer.forward(cfg_t, params_t, pk[:, :-1],
                                             tcache)
             tokens = jnp.zeros((S,), jnp.int32).at[:self.bucket].set(prompt)
             return tokens, dcache, tcache
@@ -250,6 +256,7 @@ class SlotEngine:
                 req = self.queue.popleft()
                 s = free.pop(0)
                 tokens, dcache, tcache = self._prefill(
+                    self.params_d, self.params_t,
                     jnp.asarray(req.prompt), jnp.int32(req.prompt_len))
                 batch.append((s, req, tokens, dcache, tcache))
                 self.slot_rid[s] = req.rid
@@ -304,8 +311,9 @@ class SlotEngine:
         st = self.state
         t0 = time.perf_counter()
         (tokens, length, done, acc_sum, blk_cnt, dcache, tcache) = self._step(
-            st.tokens, st.length, st.prompt_end, st.active, st.acc_sum,
-            st.blk_cnt, st.dcache, st.tcache, keys)
+            self.params_d, self.params_t, st.tokens, st.length,
+            st.prompt_end, st.active, st.acc_sum, st.blk_cnt, st.dcache,
+            st.tcache, keys)
         self.state = st._replace(tokens=tokens, length=length,
                                  done=st.done | done, acc_sum=acc_sum,
                                  blk_cnt=blk_cnt, dcache=dcache,

@@ -148,3 +148,99 @@ def make_pp_target_forward(cfg: ModelConfig, params: ModelParams, pp: int):
                          in_specs=(pspecs, P(), cspecs),
                          out_specs=(P(), cspecs),
                          check_vma=False)
+
+
+# ---------------------------------------------------------------------------
+# PP x TP composition: pipe stages of Megatron-sharded layers — the
+# production layout for 72B-class targets (e.g. pp=2 x tp=4 on 8 chips:
+# per-chip weight bytes = layers/pp * shard/tp).
+# ---------------------------------------------------------------------------
+
+def make_pp_tp_mesh(pp: int, tp: int, devices=None) -> Mesh:
+    import numpy as np
+    from .mesh import MODEL_AXIS
+    devices = devices if devices is not None else jax.devices()[:pp * tp]
+    return Mesh(np.asarray(devices).reshape(pp, tp), (PIPE_AXIS, MODEL_AXIS))
+
+
+def pp_tp_param_specs(params: ModelParams) -> ModelParams:
+    """tp_param_specs with the layer (leading) axis additionally sharded
+    over `pipe`."""
+    from .tp import tp_param_specs
+
+    def add_pipe(spec):
+        if spec is None:
+            return None
+        if isinstance(spec, QuantizedLinear):
+            return QuantizedLinear(*(add_pipe(s) for s in spec))
+        if isinstance(spec, P) and len(spec) >= 1 and spec[0] is None:
+            return P(PIPE_AXIS, *spec[1:])
+        return spec
+
+    tps = tp_param_specs(params)
+    layers = {k: add_pipe(v) for k, v in tps.layers.items()}
+    return ModelParams(embed=tps.embed, layers=layers,
+                       final_norm=tps.final_norm, lm_head=tps.lm_head)
+
+
+def pp_tp_cache_specs():
+    from ..engine.kvcache import KVCache
+    from .mesh import MODEL_AXIS
+    return KVCache(k=P(PIPE_AXIS, None, None, MODEL_AXIS, None),
+                   v=P(PIPE_AXIS, None, None, MODEL_AXIS, None),
+                   length=P(), start=P(None))
+
+
+def shard_params_pp_tp(params: ModelParams, mesh: Mesh) -> ModelParams:
+    def put(x, s):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, s))
+    return jax.tree.map(put, params, pp_tp_param_specs(params),
+                        is_leaf=lambda x: x is None)
+
+
+def make_pp_tp_target_forward(cfg: ModelConfig, params: ModelParams,
+                              pp: int):
+    """Pipe stages whose layer slices run MEGATRON-sharded over `model`
+    (transformer.forward(tp_axis=...) psums inside each stage; the lax.cond
+    predicate is uniform within a model group — every member shares the
+    pipe index — so the in-branch psums stay consistent). Logits return
+    vocab-sharded on `model`, like parallel.tp."""
+    from .mesh import MODEL_AXIS
+    assert cfg.num_layers % pp == 0, (cfg.num_layers, pp)
+    assert params.lm_head is not None, \
+        "PPxTP requires an untied lm_head (vocab shards)"
+    pspecs = pp_tp_param_specs(params)
+    cspecs = pp_tp_cache_specs()
+
+    def stage_forward(p, tokens, cache):
+        s = jax.lax.axis_index(PIPE_AXIS)
+        h = jnp.take(p.embed, tokens, axis=0).astype(cfg.dtype)
+
+        def run(args):
+            hh, cc = args
+            out, cc2 = transformer.forward(cfg, p, tokens, cc,
+                                           hidden_in=hh, skip_head=True,
+                                           tp_axis=MODEL_AXIS)
+            return out.astype(cfg.dtype), cc2
+
+        for stage in range(pp):
+            h, cache = jax.lax.cond(s == stage, run, lambda a: a, (h, cache))
+            if stage < pp - 1:
+                h = jax.lax.ppermute(
+                    h, PIPE_AXIS, [(i, i + 1) for i in range(pp - 1)])
+
+        h = jax.lax.psum(
+            jnp.where(s == pp - 1, h.astype(jnp.float32), 0.0), PIPE_AXIS)
+        x = transformer.rms_norm(h.astype(cfg.dtype), p.final_norm,
+                                 cfg.rms_norm_eps)
+        from ..ops.linear import apply_linear
+        logits = apply_linear(p.lm_head, x,
+                              path=cfg.gptq_path).astype(jnp.float32)
+        return logits, cache
+
+    return jax.shard_map(stage_forward,
+                         in_specs=(pspecs, P(), cspecs),
+                         out_specs=(P(None, None, "model"), cspecs),
+                         check_vma=False)

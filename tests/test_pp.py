@@ -92,3 +92,37 @@ def test_pp_speculative_engine_matches_single():
     assert n_pp == n_ref
     np.testing.assert_array_equal(np.asarray(res.tokens)[:n_pp],
                                   np.asarray(ref.tokens)[:n_ref])
+
+
+def test_pp_tp_forward_matches_single():
+    """PP x TP composition (pipe=2 x model=2 on 4 CPU devices): logits match
+    the single-device forward; engine decode matches token-for-token."""
+    from hsd_tpu.parallel.pp import (make_pp_tp_mesh,
+                                     make_pp_tp_target_forward,
+                                     shard_params_pp_tp)
+    cfg = dataclasses.replace(CFG, tie_word_embeddings=False)
+    pt = init_params(cfg, jax.random.PRNGKey(1))
+    toks = (jnp.arange(6, dtype=jnp.int32) % 50)[None, :] + 1
+    ref, ref_cache = transformer.forward(cfg, pt, toks, init_cache(cfg, 1, 16))
+    mesh = make_pp_tp_mesh(2, 2)
+    with jax.set_mesh(mesh):
+        pts = shard_params_pp_tp(pt, mesh)
+        fwd = make_pp_tp_target_forward(cfg, pts, 2)
+        logits, cache = jax.jit(fwd)(pts, toks, init_cache(cfg, 1, 16))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    assert int(cache.length) == int(ref_cache.length)
+
+    pd = init_params(CFG, jax.random.PRNGKey(0))
+    eng = EngineConfig(verifier=VerifierConfig(method="hsd", gamma=3),
+                       max_new_tokens=8)
+    prompt = (jnp.arange(8, dtype=jnp.int32) % 20) + 1
+    ref_res = make_generate(CFG, cfg, eng)(pd, pt, prompt, jnp.int32(8),
+                                           jax.random.PRNGKey(5))
+    with jax.set_mesh(mesh):
+        gen = make_generate(CFG, cfg, eng, target_forward=fwd)
+        res = gen(pd, pts, prompt, jnp.int32(8), jax.random.PRNGKey(5))
+    n = int(res.length)
+    assert n == int(ref_res.length)
+    np.testing.assert_array_equal(np.asarray(res.tokens)[:n],
+                                  np.asarray(ref_res.tokens)[:n])

@@ -45,6 +45,10 @@ class GenerateResult(NamedTuple):
     step_back_probs: jax.Array = jnp.zeros(())  # [max_blocks, K, gamma] f32
     p_i: jax.Array = jnp.zeros(())              # [max_blocks, gamma] f32
     q_i: jax.Array = jnp.zeros(())              # [max_blocks, gamma] f32
+    # [max_blocks] int32 inner rounds per block (-1 unused): the recursive /
+    # forward-sampling engines' hist_lengths analog (ref counts channel,
+    # utils.py:4644-4647); single-pass engines leave it at the default
+    rounds: jax.Array = jnp.zeros(())
 
 
 def _draft_block(cfg: ModelConfig, params, cache: KVCache, last2, last1,

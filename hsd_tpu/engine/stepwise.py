@@ -150,13 +150,13 @@ def make_stepwise_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
                     ncommit_acc + 1)
 
         def cond(state):
-            (_, length, done, _, _, _, _, _, blocks) = state
+            (_, length, done, _, _, _, _, _, _, blocks) = state
             return (~done) & (length + gamma + 2 <= S) & \
                 (blocks < max_blocks) & (length - P < max_new)
 
         def body(state):
             (tokens, length, done, dcache, tcache, key, accepts, dlens,
-             blocks) = state
+             rnds, blocks) = state
             key, kd, kv, ki = jax.random.split(key, 4)
             # ---- outer backward block (committed-reference verifier)
             draft_toks, q, dcache = _draft_block(
@@ -195,12 +195,15 @@ def make_stepwise_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
                                   & (gen_pos < new_length))
             accepts = accepts.at[blocks].set(res.n_matches)
             dlens = dlens.at[blocks].set(gamma)
+            # hist_lengths analog: forward-sampling inner steps this block
+            rnds = rnds.at[blocks].set(n_inner)
             return (tokens, new_length, done, dcache, tcache, key, accepts,
-                    dlens, blocks + 1)
+                    dlens, rnds, blocks + 1)
 
         state = (tokens, jnp.int32(P), jnp.bool_(False), dcache, tcache, key,
-                 accepts, dlens, jnp.int32(0))
-        (tokens, length, done, _, _, _, accepts, dlens, blocks) = \
+                 accepts, dlens, jnp.full((max_blocks,), -1, jnp.int32),
+                 jnp.int32(0))
+        (tokens, length, done, _, _, _, accepts, dlens, rnds, blocks) = \
             jax.lax.while_loop(cond, body, state)
         length = jnp.minimum(length, P + max_new)
         gen_pos = jnp.arange(S)
@@ -210,7 +213,7 @@ def make_stepwise_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
         return GenerateResult(tokens=tokens, length=length,
                               prompt_len=jnp.int32(P), blocks=blocks,
                               accepts=accepts, draft_lens=dlens,
-                              ncommit=length - P)
+                              ncommit=length - P, rounds=rnds)
 
     return jax.jit(generate)
 
@@ -249,12 +252,12 @@ def make_recursive_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
         dlens = jnp.full((max_blocks,), -1, jnp.int32)
 
         def inner_cond(st):
-            (_, _, done_i, _, _, _, hist, _, _, _, _, _) = st
+            (_, _, done_i, _, _, _, hist, _, _, _, _, _, _) = st
             return (~done_i) & (hist < gamma)
 
         def inner_body(st):
             (tokens, length, done_i, dcache, tcache, key, hist, cand, qbuf,
-             pbuf, acc_drafted, drafted_acc) = st
+             pbuf, acc_drafted, drafted_acc, nrounds) = st
             key, kd, kv = jax.random.split(key, 3)
             L = gamma - hist
             # re-draft the remaining budget onto the committed trajectory
@@ -305,24 +308,24 @@ def make_recursive_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
             tcache3 = rollback(tcache2, length2 - 1)
             return (tokens, length2, hit_eos | full, dcache3, tcache3, key,
                     hist2, cand3, qbuf2, pbuf3,
-                    acc_drafted + n_commit - 1, drafted_acc + L)
+                    acc_drafted + n_commit - 1, drafted_acc + L, nrounds + 1)
 
         def cond(state):
-            (_, length, done, _, _, _, _, _, blocks) = state
+            (_, length, done, _, _, _, _, _, _, blocks) = state
             return (~done) & (length + gamma + 2 <= S) & \
                 (blocks < max_blocks) & (length - P < max_new)
 
         def body(state):
             (tokens, length, done, dcache, tcache, key, accepts, dlens,
-             blocks) = state
+             rnds, blocks) = state
             key, ki = jax.random.split(key)
             inner0 = (tokens, length, jnp.bool_(False), dcache, tcache, ki,
                       jnp.int32(0), jnp.zeros((gamma,), jnp.int32),
                       jnp.zeros((gamma, V), jnp.float32),
                       jnp.zeros((gamma + 1, V), jnp.float32), jnp.int32(0),
-                      jnp.int32(0))
+                      jnp.int32(0), jnp.int32(0))
             (tokens, new_length, _, dcache, tcache, _, _, _, _, _,
-             acc_drafted, drafted_acc) = jax.lax.while_loop(
+             acc_drafted, drafted_acc, nrounds) = jax.lax.while_loop(
                  inner_cond, inner_body, inner0)
             gen_pos = jnp.arange(S)
             done = done | jnp.any((tokens == eos) & (gen_pos >= P)
@@ -332,12 +335,16 @@ def make_recursive_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
             # sum_r (gamma - hist_r) >= gamma tokens, so acceptance-rate
             # telemetry (accepts / draft_lens) uses the true denominator
             dlens = dlens.at[blocks].set(drafted_acc)
+            # hist_lengths analog (ref counts, utils.py:4644-4647): how many
+            # inner re-draft rounds this block took
+            rnds = rnds.at[blocks].set(nrounds)
             return (tokens, new_length, done, dcache, tcache, key, accepts,
-                    dlens, blocks + 1)
+                    dlens, rnds, blocks + 1)
 
         state = (tokens, jnp.int32(P), jnp.bool_(False), dcache, tcache, key,
-                 accepts, dlens, jnp.int32(0))
-        (tokens, length, done, _, _, _, accepts, dlens, blocks) = \
+                 accepts, dlens, jnp.full((max_blocks,), -1, jnp.int32),
+                 jnp.int32(0))
+        (tokens, length, done, _, _, _, accepts, dlens, rnds, blocks) = \
             jax.lax.while_loop(cond, body, state)
         length = jnp.minimum(length, P + max_new)
         gen_pos = jnp.arange(S)
@@ -347,6 +354,6 @@ def make_recursive_generate(cfg_draft: ModelConfig, cfg_target: ModelConfig,
         return GenerateResult(tokens=tokens, length=length,
                               prompt_len=jnp.int32(P), blocks=blocks,
                               accepts=accepts, draft_lens=dlens,
-                              ncommit=length - P)
+                              ncommit=length - P, rounds=rnds)
 
     return jax.jit(generate)

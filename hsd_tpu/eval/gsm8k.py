@@ -146,6 +146,13 @@ def run_eval(cfg_draft: ModelConfig, cfg_target: ModelConfig, params_draft,
             "target_eval": [[1] * nblocks],
             "total_step": [[1] * nblocks],
             "time": [dt],
+            # ref counts channel also carries the committed ids and, in the
+            # recursive/forward-sampling modes, per-block inner-round counts
+            # (hist_lengths; zeros-shaped default from single-pass engines
+            # is omitted)
+            "ids": [out_ids],
+            **({"hist_lengths": [np.asarray(res.rounds)[:nblocks].tolist()]}
+               if getattr(res.rounds, "ndim", 0) else {}),
         })
         answers.append((row["question"], text, row["answer"]))
 

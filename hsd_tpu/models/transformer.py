@@ -236,6 +236,13 @@ def _attention(q, k, v, q_index, kv_length, start, attn_bias):
     slots. attn_bias, if given, is [T, T] additive bias applied on the
     self-block (used for tree attention).
     """
+    from ..ops.flash_decode import flash_attention_decode, use_flash
+    if use_flash(q, k):
+        # long-cache decode regime: stream the cache once with online
+        # softmax instead of materializing [Hkv, rep, T, S] fp32 scores
+        # (ops/flash_decode.py; same masking/bias semantics as below)
+        return flash_attention_decode(q, k, v, q_index, kv_length, start,
+                                      attn_bias)
     B, T, H, d = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     rep = H // Hkv

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""EAGLE production-geometry cost bench on one TPU chip.
+
+The reference's second headline is EAGLE-3 on Llama-3.1-8B-Instruct
+(EAGLE-3H/README.md:58-63: BE 3.22 -> 3.61, 88 -> 107 tok/s on H100). Block
+EFFICIENCY at real-LM operating points needs trained checkpoints (no network
+here — the BE uplift mechanics are validated separately in
+scripts/bench_eagle.py on a trained synthetic language, and the verifier
+rules differentially against the reference in tests/). What CAN be measured
+honestly at full production geometry is the COST STRUCTURE:
+
+  * AR baseline: ms/token of the int8 8B-geometry target (one full forward
+    per token) — the reference's `naivegenerate` denominator;
+  * EAGLE block: ms/block of the full eagenerate loop (head absorb + depth-6
+    beam trie, ONE tree-masked target forward over total_tokens=59 + 1
+    positions, trie verification, path KV compaction) with a random head —
+    weight-independent: every stage's cost is shape-determined;
+  * implied tok/s at the reference's published BE (3.61) and at break-even.
+
+The target runs int8 (the 16GB v5e equivalent of the reference's bf16 8B on
+an 80GB H100; same memory-bound decode regime, weights stream at the Pallas
+kernel's 720 GB/s). Head geometry matches EAGLE3-LLaMA3.1-Instruct-8B:
+hidden 4096, draft vocab 32k, top_k=10, depth=6, total_tokens=59.
+
+Env knobs: E8B_NEW (committed tokens per run), E8B_MODE, E8B_PROMPTS,
+E8B_LAYERS (0 = full 32), E8B_AR_NEW.
+"""
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+
+from hsd_tpu.config import EngineConfig, ModelConfig
+from hsd_tpu.engine import make_autoregressive
+from hsd_tpu.engine.eagle_engine import make_eagle_generate
+from hsd_tpu.eval.synthetic import init_quantized_params
+from hsd_tpu.models.eagle import EagleConfig, init_eagle_params
+
+MAX_NEW = int(os.environ.get("E8B_NEW", 48))
+AR_NEW = int(os.environ.get("E8B_AR_NEW", 24))
+MODE = os.environ.get("E8B_MODE", "hsd")
+N_PROMPTS = int(os.environ.get("E8B_PROMPTS", 2))
+_LAYERS = int(os.environ.get("E8B_LAYERS", 0))
+
+CFG = ModelConfig.llama3_8b(**({"num_layers": _LAYERS} if _LAYERS else {}))
+ECFG = EagleConfig(
+    hidden_size=CFG.hidden_size, target_hidden_size=CFG.hidden_size,
+    num_heads=CFG.num_heads, num_kv_heads=CFG.num_kv_heads,
+    vocab_size=CFG.vocab_size, draft_vocab_size=32000,
+    intermediate_size=CFG.intermediate_size, rope_theta=CFG.rope_theta,
+    top_k=10, depth=6, total_tokens=59)
+PROMPT = (jnp.arange(64, dtype=jnp.int32) % 1000) + 10
+PLEN = jnp.int32(64)
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    kt, ke = jax.random.split(key)
+    t0 = time.perf_counter()
+    params_t = init_quantized_params(CFG, kt, bits=8)
+    params_e = init_eagle_params(ECFG, ke)
+    jax.block_until_ready(params_t.layers["wdown"].qweight)
+    build_s = time.perf_counter() - t0
+
+    # ---- EAGLE block cost --------------------------------------------------
+    eng = EngineConfig(max_new_tokens=MAX_NEW, temperature=1.0)
+    gen = make_eagle_generate(CFG, ECFG, eng, mode=MODE)
+    res = gen(params_t, params_e, PROMPT, PLEN, jax.random.fold_in(key, 9))
+    res.tokens.block_until_ready()              # compile + warm
+    blocks, toks, secs, acc = 0, 0, 0.0, 0
+    for i in range(N_PROMPTS):
+        t0 = time.perf_counter()
+        res = gen(params_t, params_e, PROMPT, PLEN,
+                  jax.random.fold_in(key, 100 + i))
+        res.tokens.block_until_ready()
+        secs += time.perf_counter() - t0
+        blocks += int(res.blocks)
+        toks += int(res.ncommit)
+        acc += int(jnp.sum(jnp.maximum(res.accepts, 0)))
+    ms_block = 1e3 * secs / blocks
+    be_meas = toks / blocks
+
+    # ---- AR baseline (same target, one forward per token) ------------------
+    ar = make_autoregressive(
+        CFG, EngineConfig(max_new_tokens=AR_NEW, temperature=1.0))
+    r = ar(params_t, PROMPT, PLEN, jax.random.PRNGKey(7))
+    jax.block_until_ready(r[0])
+    t0 = time.perf_counter()
+    toks_ar, length = ar(params_t, PROMPT, PLEN, jax.random.PRNGKey(8))
+    jax.block_until_ready(toks_ar)
+    ms_ar = 1e3 * (time.perf_counter() - t0) / (int(length) - 64)
+
+    ref_be = 3.61                                 # EAGLE-3H/README.md:58-63
+    print(json.dumps({
+        "metric": "eagle_block_ms_8b",
+        "value": round(ms_block, 2),
+        "unit": "ms/block",
+        "context": {
+            "ar_ms_token": round(ms_ar, 2),
+            "ar_tok_s": round(1e3 / ms_ar, 1),
+            "be_measured_random_head": round(be_meas, 3),
+            "tok_s_at_reference_be": round(ref_be * 1e3 / ms_block, 1),
+            "breakeven_be": round(ms_block / ms_ar, 3),
+            "mode": MODE,
+            "setup": f"llama3-8B-geometry int8 target ({CFG.num_layers} "
+                     f"layers, V={CFG.vocab_size}), EAGLE-3 head "
+                     f"(N=59, depth=6, top_k=10, draft vocab 32k), "
+                     f"build_s={build_s:.0f}",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -167,11 +167,14 @@ FLASH_DECODE = os.environ.get("HSD_TPU_FLASH_DECODE", "auto")
 def use_flash(q, k) -> bool:
     """Route decode-regime attention (small T, large S) to the kernel.
 
-    'auto' (default) takes it on TPU when the query block is small (decode /
-    spec-verify / trie blocks) AND the cache is long enough that the score
-    materialization dominates the ~9us/layer kernel launch (measured
-    crossover region; short caches keep XLA's fused einsum, prefill is
-    compute-bound and stays XLA always). Env HSD_TPU_FLASH_DECODE:
+    'auto' (default) takes it on TPU for MULTI-QUERY blocks (spec-verify
+    T=gamma+1, trie T=N+1) over long caches — the regime where the einsum
+    path's [Hkv, rep, T, S] fp32 score materialization scales with T and
+    dominates the KV bytes. At T=1 (plain AR decode) the score tensor is
+    ~20 bytes/slot/layer against ~512 KV bytes — nothing to save — and the
+    measured kernel is 0.88-0.95x there (docs/BENCHMARKS.md, long-context
+    table), so single-query decode keeps XLA's einsum. Prefill is
+    compute-bound and stays XLA always. Env HSD_TPU_FLASH_DECODE:
     auto | always | off ('always' runs interpret mode off-TPU — the CPU-mesh
     test/bench hook)."""
     mode = FLASH_DECODE
@@ -183,7 +186,7 @@ def use_flash(q, k) -> bool:
                 and q.shape[0] == 1)
     if mode == "always":
         return ok_shape
-    return (ok_shape and k.shape[1] >= 1024
+    return (ok_shape and q.shape[1] >= 8 and k.shape[1] >= 1024
             and jax.default_backend() == "tpu")
 
 

@@ -7,7 +7,8 @@ length, ITERS-slope timed (chained data-dependent steps inside one jit so the
 tunnel's dispatch/fetch floor cancels).
 
 Env: LC_LAYERS (default 24), LC_LENS (comma list, default 1056,2080,4128),
-LC_ITERS (default 24), LC_BITS.
+LC_ITERS (default 24), LC_BITS, LC_T (query block size: 1 = AR decode,
+11 = spec-verify block — the regime where score traffic scales with T).
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_longctx.py
 """
 import functools
@@ -35,6 +36,7 @@ LAYERS = int(os.environ.get("LC_LAYERS", 24))
 LENS = [int(x) for x in os.environ.get("LC_LENS", "1056,2080,4128").split(",")]
 ITERS = int(os.environ.get("LC_ITERS", 24))
 BITS = int(os.environ.get("LC_BITS", 8))
+T = int(os.environ.get("LC_T", 1))
 
 CFG = ModelConfig.qwen2_14b(num_layers=LAYERS)
 
@@ -46,7 +48,8 @@ def _chain(params, cache, tok0, n):
     Data dependence through the sampled token prevents CSE/elision."""
     def body(i, carry):
         tok, acc = carry
-        logits, c2 = transformer.forward(CFG, params, tok[None, None], cache)
+        toks = jnp.broadcast_to(tok, (1, T))
+        logits, c2 = transformer.forward(CFG, params, toks, cache)
         nt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
         return nt, acc + logits[0, -1, 0].astype(jnp.float32) * 1e-9
     _, acc = jax.lax.fori_loop(0, n, body, (tok0, jnp.float32(0)))

@@ -167,27 +167,23 @@ FLASH_DECODE = os.environ.get("HSD_TPU_FLASH_DECODE", "auto")
 def use_flash(q, k) -> bool:
     """Route decode-regime attention (small T, large S) to the kernel.
 
-    'auto' (default) takes it on TPU for MULTI-QUERY blocks (spec-verify
-    T=gamma+1, trie T=N+1) over long caches — the regime where the einsum
-    path's [Hkv, rep, T, S] fp32 score materialization scales with T and
-    dominates the KV bytes. At T=1 (plain AR decode) the score tensor is
-    ~20 bytes/slot/layer against ~512 KV bytes — nothing to save — and the
-    measured kernel is 0.88-0.95x there (docs/BENCHMARKS.md, long-context
-    table), so single-query decode keeps XLA's einsum. Prefill is
-    compute-bound and stays XLA always. Env HSD_TPU_FLASH_DECODE:
-    auto | always | off ('always' runs interpret mode off-TPU — the CPU-mesh
-    test/bench hook)."""
+    MEASURED NEGATIVE RESULT (docs/BENCHMARKS.md, long-context table): on
+    v5e the kernel is 0.87-0.97x XLA's grouped einsum at BOTH T=1 and T=11
+    across 1k-4k cache lengths — XLA's fused attention never materializes
+    the [.., T, S] score tensor in HBM (its measured slope is T-independent,
+    ~0.42 ms/1k slots), so there is no traffic for a hand-written kernel to
+    save and per-block launch + small-op latency loses. 'auto' therefore
+    routes NOTHING; the kernel stays as a measured, parity-tested opt-in
+    (HSD_TPU_FLASH_DECODE=always — interpret mode off-TPU, the CPU-mesh
+    test hook) and as the base for future regimes XLA handles poorly
+    (e.g. paged / non-contiguous caches)."""
     mode = FLASH_DECODE
-    if mode == "off":
+    if mode != "always":
         return False
     d = q.shape[-1]
-    ok_shape = (q.shape[1] <= 128 and d in (64, 128)
-                and k.shape[3] == d and k.shape[1] >= 128
-                and q.shape[0] == 1)
-    if mode == "always":
-        return ok_shape
-    return (ok_shape and q.shape[1] >= 8 and k.shape[1] >= 1024
-            and jax.default_backend() == "tpu")
+    return (q.shape[1] <= 128 and d in (64, 128)
+            and k.shape[3] == d and k.shape[1] >= 128
+            and q.shape[0] == 1)
 
 
 def flash_attention_decode(q, k, v, q_index, kv_length, start, attn_bias,

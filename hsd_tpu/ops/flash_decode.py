@@ -1,11 +1,16 @@
 """Flash-decode attention: online-softmax GQA over the static KV cache.
 
-The decode path's attention (models/transformer._attention) is a grouped
-einsum — XLA materializes the [Hkv, rep, T, S] float32 score tensor plus its
-softmax in HBM every layer, which is why the measured long-context decode
-slope (0.18 ms / 1024 cache slots at 14B geometry, docs/BENCHMARKS.md) sits
-~6x above the pure KV-read speed-of-light (~0.03 ms). This kernel streams the
-cache ONCE: grid over S blocks, queries + running (max, denom, accumulator)
+Original (REFUTED) hypothesis: that XLA materializes the [Hkv, rep, T, S]
+fp32 score tensor for the grouped einsum in models/transformer._attention in
+HBM every layer, leaving decode-slope headroom for a hand-written streaming
+kernel. Measurement says otherwise: XLA's fused attention never spills the
+score tensor (its decode slope is T-independent and near the KV-read floor
+— see use_flash() and the docs/BENCHMARKS.md long-context table), so there
+is no HBM traffic for this kernel to save and it LOSES 3-13% to the einsum
+path at 1k-4k cache lengths. The kernel is kept as a measured, parity-tested
+opt-in (HSD_TPU_FLASH_DECODE=always) and as the base for regimes XLA handles
+poorly (paged / non-contiguous caches). Mechanically it streams the cache
+ONCE: grid over S blocks, queries + running (max, denom, accumulator)
 resident in VMEM, standard flash online-softmax rescaling per block — no
 score tensor ever touches HBM.
 
@@ -107,7 +112,14 @@ def _flash_core(q, k, v, q_index, start, kv_length, attn_bias,
                 block_s: int = 512, interpret: bool = False):
     """Single-sequence core. q [T, H, d]; k,v [S, Hkv, d]; q_index [T];
     start, kv_length scalars; attn_bias [T, T] or None. Returns [T, H, d]
-    float32."""
+    float32.
+
+    DIVERGENCE on fully-masked query rows (q_index < start — no valid key):
+    the kernel outputs ZEROS (acc / max(l, 1e-30) with l == 0), while the
+    einsum path's softmax over all -1e30 scores yields the uniform mean of V.
+    Unreachable from current decode call sites (q_index >= start always
+    holds); pinned by tests/test_flash_decode.py::test_fully_masked_row so a
+    future caller with padded rows hits it deliberately."""
     T, H, d = q.shape
     S, Hkv = k.shape[0], k.shape[1]
     rep = H // Hkv

@@ -78,13 +78,16 @@ def main():
         # mark L slots valid (content irrelevant for timing; buffers are 0)
         cache = cache._replace(length=jnp.int32(L))
         row = {"len": L}
-        for mode in ("off", "auto"):
+        # "always" (not "auto"): since commit 5f32dcc the kernel is pure
+        # opt-in — use_flash() routes nothing under "auto", which would
+        # silently benchmark the einsum path against itself here
+        for mode in ("off", "always"):
             fd.FLASH_DECODE = mode
             _chain.clear_cache()
             row[mode] = step_ms(params, cache)
         print(f"len={L:5d}  einsum {row['off']:7.2f} ms/step   "
-              f"flash {row['auto']:7.2f} ms/step   "
-              f"({row['off'] / row['auto']:.2f}x)", flush=True)
+              f"flash {row['always']:7.2f} ms/step   "
+              f"({row['off'] / row['always']:.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

@@ -66,6 +66,34 @@ def test_flash_bf16_matches_reference_cast():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_fully_masked_row():
+    """Pin the DOCUMENTED divergence on fully-masked query rows (q_index <
+    start, i.e. no valid key): the kernel outputs zeros, the einsum path's
+    softmax over all -1e30 scores yields the uniform mean of V. Unreachable
+    from current decode call sites — this test exists so a future caller with
+    padded rows hits the difference deliberately (ADVICE r2)."""
+    T, H, Hkv, d, S, kv_len, start = 2, 4, 2, 64, 128, 40, 8
+    q, k, v = _mk(jax.random.PRNGKey(3), T, H, Hkv, d, S, jnp.float32)
+    # row 0 valid (q_index >= start); row 1 fully masked (q_index < start)
+    q_index = jnp.array([[kv_len, start - 2]], jnp.int32)
+    st = jnp.array([start], jnp.int32)
+    ref = _attention(q, k, v, q_index, jnp.int32(kv_len), st, None)
+    out = flash_attention_decode(q, k, v, q_index, jnp.int32(kv_len), st,
+                                 None, block_s=64)
+    # valid row agrees
+    np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(ref[0, 0]),
+                               rtol=2e-5, atol=2e-5)
+    # masked row: kernel = zeros; einsum = softmax over uniformly -1e30
+    # scores = uniform over ALL S slots -> mean of V — the documented,
+    # deliberate difference
+    np.testing.assert_allclose(np.asarray(out[0, 1]), 0.0, atol=1e-6)
+    mean_v = np.asarray(jnp.mean(v[0], axis=0))          # [Hkv, d]
+    rep = H // Hkv
+    mean_full = np.repeat(mean_v, rep, axis=0)           # [H, d]
+    np.testing.assert_allclose(np.asarray(ref[0, 1]), mean_full,
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_flash_engine_e2e_parity():
     """Whole-generate parity: HSD_TPU_FLASH_DECODE=always routes every
     decode-path attention through the kernel (interpret mode on CPU); the

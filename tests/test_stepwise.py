@@ -226,3 +226,70 @@ def test_recursive_first_token_near_target():
     want = np.bincount(np.asarray(t_ar)[:, 8], minlength=32) / n
     tv = 0.5 * np.abs(emp - want).sum()
     assert tv < 0.08, tv
+
+
+def test_recursive_round_truncated_q_history_accept_all():
+    """Pin the documented truncating-processor edge (docs/PARITY.md T1b
+    note): when a committed HISTORY token has q_i == 0 (a top-k/top-p draft
+    processor zeroed it, but the residual resample committed it anyway), the
+    raw frontier ratio prod(p_i/q_i) blows up to +inf and the round becomes
+    accept-all — inherent to the reference's raw-frontier recursion, NOT a
+    deviation. The implementation must stay finite (no NaNs) and commit the
+    full tail + bonus with probability 1."""
+    from hsd_tpu.verify import recursive_round
+
+    V, gamma, hist = 6, 3, 1
+    rng = np.random.default_rng(21)
+    q = rng.dirichlet(np.ones(V), size=gamma).astype(np.float32)
+    q[0, 2] = 0.0                       # truncated: committed token has q=0
+    q[0] /= q[0].sum()
+    p = rng.dirichlet(np.ones(V), size=gamma + 1).astype(np.float32)
+    x = np.array([2, 1, 4], np.int32)   # history token = the zeroed one
+
+    n = 300
+    keys = jax.random.split(jax.random.PRNGKey(22), n)
+
+    def run(k):
+        out, n_commit, full, resid = recursive_round(
+            k, jnp.asarray(x), jnp.asarray(q), jnp.asarray(p),
+            jnp.int32(hist), jnp.int32(gamma))
+        return out, n_commit, full, resid
+
+    out, nc, full, resid = jax.vmap(run)(keys)
+    assert np.isfinite(np.asarray(resid)).all()
+    # +inf frontier => accept-all every time: full tail (gamma - hist = 2
+    # drafted tokens) + bonus
+    assert np.asarray(full).all()
+    assert (np.asarray(nc) == gamma - hist + 1).all()
+    # committed tail tokens are the drafted ones; bonus is p[gamma]-distributed
+    assert (np.asarray(out)[:, 0] == 1).all()
+    assert (np.asarray(out)[:, 1] == 4).all()
+    bonus = np.asarray(out)[:, 2]
+    emp = np.bincount(bonus, minlength=V) / n
+    tv = 0.5 * np.abs(emp - p[gamma]).sum()
+    assert tv < 0.12, tv
+
+
+def test_recursive_engine_truncating_processor_runs():
+    """Engine-level twin of the +inf-frontier pin: a top-k-truncating draft
+    processor must not break the recursive engine (finite outputs, valid
+    tokens, telemetry invariants hold) even though history q-zeros force
+    accept-all rounds."""
+    from hsd_tpu.engine.stepwise import make_recursive_generate
+    pd = init_params(CFG, jax.random.PRNGKey(5))
+    pt = init_params(CFG, jax.random.PRNGKey(6))
+    eng = EngineConfig(verifier=VerifierConfig(method="hsd_ref", gamma=3),
+                       max_new_tokens=12, top_k=4)   # truncating draft+target
+    gen = make_recursive_generate(CFG, CFG, eng)
+    prompt = (jnp.arange(8, dtype=jnp.int32) % 20) + 1
+    res = jax.vmap(lambda k: gen(pd, pt, prompt, jnp.int32(8), k))(
+        jax.random.split(jax.random.PRNGKey(23), 16))
+    for i in range(16):
+        n = int(res.length[i])
+        toks = np.asarray(res.tokens[i])[8:n]
+        assert ((toks >= 0) & (toks < 32)).all()
+        assert 1 <= int(res.ncommit[i]) <= 12
+        b = int(res.blocks[i])
+        acc = np.asarray(res.accepts[i])[:b]
+        dl = np.asarray(res.draft_lens[i])[:b]
+        assert ((acc >= 0) & (acc <= dl)).all()

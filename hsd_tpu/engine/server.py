@@ -63,12 +63,27 @@ class Request:
 
 
 class SlotEngine:
-    """Host-side continuous-batching scheduler around jitted slot kernels."""
+    """Host-side continuous-batching scheduler around jitted slot kernels.
+
+    target_forward: optional SLOT-BATCHED target override
+    `(params, tokens [SLOTS, R, T], cache-with-leading-slot-axis) ->
+    (logits [SLOTS, R, T, V], cache)` — the serving twin of
+    `make_generate(target_forward=...)`. The slot axis rides INSIDE the
+    override (instead of vmapping it from outside) so shard_map targets
+    compose: `parallel.tp.make_tp_server_forward` / `parallel.pp.
+    make_pp_server_forward` run the whole pool's verify forward on local
+    Megatron shards / pipe stages with one program. Prefill calls the same
+    override with a singleton slot axis.
+    target_cache_ops: optional per-slot `(init, rollback, select)` triple
+    (same protocol as make_generate); the engine vmaps rollback/select over
+    the slot axis and stacks init for the pool state.
+    """
 
     def __init__(self, cfg_d: ModelConfig, cfg_t: ModelConfig,
                  engine: EngineConfig, n_slots: int, bucket: int,
                  params_d=None, params_t=None, seed: int = 0,
-                 admit_batch: int = 4):
+                 admit_batch: int = 4, target_forward=None,
+                 target_cache_ops=None):
         self.cfg_d, self.cfg_t, self.engine = cfg_d, cfg_t, engine
         self.n_slots = n_slots
         self.bucket = bucket
@@ -80,6 +95,8 @@ class SlotEngine:
         self.method = v.method
         self.S = bucket + engine.max_new_tokens + self.gamma + 2
         self.params_d, self.params_t = params_d, params_t
+        self.target_forward = target_forward
+        self.target_cache_ops = target_cache_ops
         self.key = jax.random.PRNGKey(seed)
         self.queue: deque[Request] = deque()
         self.running: Dict[int, Request] = {}
@@ -94,6 +111,7 @@ class SlotEngine:
     def _build(self):
         cfg_d, cfg_t = self.cfg_d, self.cfg_t
         gamma, K, R, S = self.gamma, self.K, self.R, self.S
+        n_slots = self.n_slots
         striped = self.striped
         temp = processor(self.engine.temperature, self.engine.top_k,
                          self.engine.top_p)
@@ -101,80 +119,104 @@ class SlotEngine:
         eos = cfg_t.eos_token_id
         max_new = self.engine.max_new_tokens
 
-        def slot_block(params_d, params_t, tokens, length, prompt_end,
-                       active, acc_sum, blk_cnt, dcache, tcache, key):
-            """One speculative block for one slot (masked by `active`).
+        # slot-batched target forward: default maps the slot axis with vmap
+        # (params broadcast); shard_map overrides take the slot axis whole
+        tfwd = self.target_forward or (
+            lambda p, t, c: jax.vmap(
+                lambda tt, cc: transformer.forward(cfg_t, p, tt, cc))(t, c))
+        if self.target_cache_ops is None:
+            t_init = lambda batch, max_len, start: init_cache(
+                cfg_t, batch, max_len)._replace(start=start)
+            t_rollback, t_select = rollback, select_draft_row
+        else:
+            t_init, t_rollback, t_select = self.target_cache_ops
+        self._t_init = t_init
+
+        def pool_step(params_d, params_t, tokens, length, prompt_end,
+                      active, acc_sum, blk_cnt, dcache, tcache, keys):
+            """One speculative block for every slot: vmapped draft scan ->
+            ONE slot-batched target forward -> vmapped verify/commit.
 
             params ride as ARGUMENTS, never closure constants: closed-over
             weights embed into the serialized HLO and blow the remote
             compiler's request limit (HTTP 413) at real model sizes."""
-            kd, kv = jax.random.split(key)
-            last = tokens[length - 1]
+            ks = jax.vmap(jax.random.split)(keys)       # [SLOTS, 2, 2]
+            kd, kv = ks[:, 0], ks[:, 1]
+            last = jax.vmap(lambda t, l: t[l - 1])(tokens, length)
+            last2 = jax.vmap(lambda t, l: t[l - 2])(tokens, length)
+
             if striped:
-                draft_toks, q, dcache2 = _draft_block_striped(
-                    cfg_d, params_d, dcache, tokens[length - 2], last,
-                    kd, gamma, K, temp)
+                draft_one = lambda dc, l2, l1, k: _draft_block_striped(
+                    cfg_d, params_d, dc, l2, l1, k, gamma, K, temp)
             else:
-                draft_toks, q, dcache2 = _draft_block(
-                    cfg_d, params_d, dcache, tokens[length - 2], last,
-                    kd, gamma, temp)
+                draft_one = lambda dc, l2, l1, k: _draft_block(
+                    cfg_d, params_d, dc, l2, l1, k, gamma, temp)
+            draft_toks, q, dcache2 = jax.vmap(draft_one)(dcache, last2,
+                                                         last, kd)
+
             tgt_in = jnp.concatenate(
-                [jnp.broadcast_to(last, (R, 1)).astype(jnp.int32),
-                 draft_toks], 1)
-            tlogits, tcache2 = transformer.forward(cfg_t, params_t,
-                                                   tgt_in, tcache)
-            p = temp(tlogits)
-            res = verify(method, kv, draft_toks, q, p, num_drafts=K,
-                         striped=striped)
-            n_commit = res.n_matches + 1
-            posn = jnp.arange(S)
-            src = jnp.take(res.tokens, jnp.clip(posn - length, 0, gamma))
-            write = (posn >= length) & (posn < length + n_commit)
-            tokens2 = jnp.where(write, src, tokens)
-            new_length = length + n_commit
-            dcache2 = rollback(dcache2, new_length - 2)
-            tcache2 = rollback(tcache2, new_length - 1)
-            if R > 1:
-                dcache2 = select_draft_row(dcache2, res.draft_index)
-                tcache2 = select_draft_row(tcache2, res.draft_index)
-            hit_eos = jnp.any(write & (tokens2 == eos))
-            budget = new_length - prompt_end >= max_new
-            done = hit_eos | budget
+                [jnp.broadcast_to(last[:, None, None],
+                                  (n_slots, R, 1)).astype(jnp.int32),
+                 draft_toks], axis=2)                   # [SLOTS, R, gamma+1]
+            tlogits, tcache2 = tfwd(params_t, tgt_in, tcache)
+            p = temp(tlogits)                           # [SLOTS, R, g+1, V]
+
+            def verify_slot(kv_k, dt, q_s, p_s, tokens_s, length_s,
+                            prompt_end_s, acc_s, blk_s, dc, tc):
+                res = verify(method, kv_k, dt, q_s, p_s, num_drafts=K,
+                             striped=striped)
+                n_commit = res.n_matches + 1
+                posn = jnp.arange(S)
+                src = jnp.take(res.tokens,
+                               jnp.clip(posn - length_s, 0, gamma))
+                write = (posn >= length_s) & (posn < length_s + n_commit)
+                tokens2 = jnp.where(write, src, tokens_s)
+                new_length = length_s + n_commit
+                dc = rollback(dc, new_length - 2)
+                tc = t_rollback(tc, new_length - 1)
+                if R > 1:
+                    dc = select_draft_row(dc, res.draft_index)
+                    tc = t_select(tc, res.draft_index)
+                hit_eos = jnp.any(write & (tokens2 == eos))
+                budget = new_length - prompt_end_s >= max_new
+                return (tokens2, new_length, hit_eos | budget,
+                        acc_s + res.n_matches, blk_s + 1, dc, tc)
+
+            (tokens2, length2, done2, acc2, blk2, dcache3, tcache3) = \
+                jax.vmap(verify_slot)(kv, draft_toks, q, p, tokens, length,
+                                      prompt_end, acc_sum, blk_cnt, dcache2,
+                                      tcache2)
 
             # masked fold: inactive slots keep their state untouched
             def keep(new, old):
                 return jax.tree.map(
                     lambda n_, o: jnp.where(
-                        jnp.reshape(active, (1,) * n_.ndim) if n_.ndim
-                        else active, n_, o), new, old)
+                        jnp.reshape(active,
+                                    (n_slots,) + (1,) * (n_.ndim - 1)),
+                        n_, o), new, old)
 
-            tokens3 = jnp.where(active, tokens2, tokens)
-            length3 = jnp.where(active, new_length, length)
-            done3 = active & done
-            acc_sum3 = jnp.where(active, acc_sum + res.n_matches, acc_sum)
-            blk_cnt3 = jnp.where(active, blk_cnt + 1, blk_cnt)
-            dcache3 = keep(dcache2, dcache)
-            tcache3 = keep(tcache2, tcache)
-            return (tokens3, length3, done3, acc_sum3, blk_cnt3, dcache3,
-                    tcache3)
+            return (keep(tokens2, tokens), keep(length2, length),
+                    active & done2, keep(acc2, acc_sum),
+                    keep(blk2, blk_cnt), keep(dcache3, dcache),
+                    keep(tcache3, tcache))
 
         # donate the big per-slot buffers: the step updates state in place
-        # instead of allocating a second copy of every cache each step.
-        # vmap maps the slot axis; params broadcast (in_axes None)
-        self._step = jax.jit(
-            jax.vmap(slot_block, in_axes=(None, None) + (0,) * 9),
-            donate_argnums=(2, 3, 6, 7, 8, 9))
+        # instead of allocating a second copy of every cache each step
+        self._step = jax.jit(pool_step, donate_argnums=(2, 3, 6, 7, 8, 9))
 
         def prefill(params_d, params_t, prompt, prompt_len):
             start = jnp.broadcast_to(self.bucket - prompt_len,
                                      (R,)).astype(jnp.int32)
             dcache = init_cache(cfg_d, R, S)._replace(start=start)
-            tcache = init_cache(cfg_t, R, S)._replace(start=start)
+            tcache = t_init(R, S, start)
             pk = jnp.broadcast_to(prompt[None, :], (R, self.bucket))
             _, dcache = transformer.forward(cfg_d, params_d, pk[:, :-2],
                                             dcache)
-            _, tcache = transformer.forward(cfg_t, params_t, pk[:, :-1],
-                                            tcache)
+            # target prefill through the same slot-batched forward
+            # (singleton slot axis) so sharded targets prefill sharded too
+            _, tc1 = tfwd(params_t, pk[None, :, :-1],
+                          jax.tree.map(lambda x: x[None], tcache))
+            tcache = jax.tree.map(lambda x: x[0], tc1)
             tokens = jnp.zeros((S,), jnp.int32).at[:self.bucket].set(prompt)
             return tokens, dcache, tcache
 
@@ -224,7 +266,7 @@ class SlotEngine:
     def _init_state(self) -> SlotState:
         R, S = self.R, self.S
         dc = init_cache(self.cfg_d, R, S)
-        tc = init_cache(self.cfg_t, R, S)
+        tc = self._t_init(R, S, jnp.zeros((R,), jnp.int32))
         stack = lambda c: jax.tree.map(
             lambda x: jnp.stack([x] * self.n_slots), c)
         # NOTE: donated pytrees must not alias buffers (f(donate(a),

@@ -100,6 +100,50 @@ def shard_params_pp(params: ModelParams, mesh: Mesh) -> ModelParams:
                         is_leaf=lambda x: x is None)
 
 
+def _pp_stage_body(cfg: ModelConfig, pp: int, p, tokens, cache,
+                   tp_axis: Optional[str] = None):
+    """One device's view of the pipelined forward (runs inside shard_map):
+    embed replicated, static unroll over pp stages with lax.cond gating +
+    ppermute handoff, masked psum broadcast of the last stage's hidden,
+    replicated (or tp-sharded) head."""
+    s = jax.lax.axis_index(PIPE_AXIS)
+    # replicated embedding (only stage 0's value is consumed)
+    if isinstance(p.embed, QuantizedEmbedding):
+        rows = jnp.take(p.embed.codes, tokens, axis=0).astype(jnp.float32)
+        sc = jnp.take(p.embed.scale, tokens, axis=0).astype(jnp.float32)
+        h = (rows * sc[..., None]).astype(cfg.dtype)
+    else:
+        h = jnp.take(p.embed, tokens, axis=0).astype(cfg.dtype)
+
+    def run(args):
+        hh, cc = args
+        out, cc2 = transformer.forward(cfg, p, tokens, cc,
+                                       hidden_in=hh, skip_head=True,
+                                       tp_axis=tp_axis)
+        return out.astype(cfg.dtype), cc2
+
+    for stage in range(pp):
+        # only the active stage pays its layer slice; lax.cond's
+        # predicate varies per device, and neither branch holds a
+        # collective, so devices genuinely branch (under TP the predicate
+        # is uniform within each model group — all members share the pipe
+        # index — so in-branch psums stay consistent)
+        h, cache = jax.lax.cond(s == stage, run, lambda a: a, (h, cache))
+        if stage < pp - 1:
+            h = jax.lax.ppermute(
+                h, PIPE_AXIS, [(i, i + 1) for i in range(pp - 1)])
+
+    # broadcast the last stage's hidden, then the head on every device
+    h = jax.lax.psum(
+        jnp.where(s == pp - 1, h.astype(jnp.float32), 0.0), PIPE_AXIS)
+    x = transformer.rms_norm(h.astype(cfg.dtype), p.final_norm,
+                             cfg.rms_norm_eps)
+    head = p.embed.T if p.lm_head is None else p.lm_head
+    from ..ops.linear import apply_linear
+    logits = apply_linear(head, x, path=cfg.gptq_path).astype(jnp.float32)
+    return logits, cache
+
+
 def make_pp_target_forward(cfg: ModelConfig, params: ModelParams, pp: int):
     """Non-jitted shard_map target forward `(params, tokens, cache) ->
     (logits, cache)` over the `pipe` axis, for
@@ -108,46 +152,33 @@ def make_pp_target_forward(cfg: ModelConfig, params: ModelParams, pp: int):
     assert cfg.num_layers % pp == 0, (cfg.num_layers, pp)
     pspecs = pp_param_specs(params)
     cspecs = pp_cache_specs()
+    return jax.shard_map(
+        lambda p, t, c: _pp_stage_body(cfg, pp, p, t, c),
+        in_specs=(pspecs, P(), cspecs),
+        out_specs=(P(), cspecs),
+        check_vma=False)
 
-    def stage_forward(p, tokens, cache):
-        s = jax.lax.axis_index(PIPE_AXIS)
-        # replicated embedding (only stage 0's value is consumed)
-        if isinstance(p.embed, QuantizedEmbedding):
-            rows = jnp.take(p.embed.codes, tokens, axis=0).astype(jnp.float32)
-            sc = jnp.take(p.embed.scale, tokens, axis=0).astype(jnp.float32)
-            h = (rows * sc[..., None]).astype(cfg.dtype)
-        else:
-            h = jnp.take(p.embed, tokens, axis=0).astype(cfg.dtype)
 
-        def run(args):
-            hh, cc = args
-            out, cc2 = transformer.forward(cfg, p, tokens, cc,
-                                           hidden_in=hh, skip_head=True)
-            return out.astype(cfg.dtype), cc2
-
-        for stage in range(pp):
-            # only the active stage pays its layer slice; lax.cond's
-            # predicate varies per device, and neither branch holds a
-            # collective, so devices genuinely branch
-            h, cache = jax.lax.cond(s == stage, run, lambda a: a, (h, cache))
-            if stage < pp - 1:
-                h = jax.lax.ppermute(
-                    h, PIPE_AXIS, [(i, i + 1) for i in range(pp - 1)])
-
-        # broadcast the last stage's hidden, then head replicated
-        h = jax.lax.psum(
-            jnp.where(s == pp - 1, h.astype(jnp.float32), 0.0), PIPE_AXIS)
-        x = transformer.rms_norm(h.astype(cfg.dtype), p.final_norm,
-                                 cfg.rms_norm_eps)
-        head = p.embed.T if p.lm_head is None else p.lm_head
-        from ..ops.linear import apply_linear
-        logits = apply_linear(head, x, path=cfg.gptq_path).astype(jnp.float32)
-        return logits, cache
-
-    return jax.shard_map(stage_forward,
-                         in_specs=(pspecs, P(), cspecs),
-                         out_specs=(P(), cspecs),
-                         check_vma=False)
+def make_pp_server_forward(cfg: ModelConfig, params: ModelParams, pp: int):
+    """SLOT-BATCHED pipelined target forward for the continuous-batching
+    SlotEngine (`engine.server.SlotEngine(target_forward=...)`): tokens
+    [SLOTS, R, T], caches with a leading slot axis. The slot axis is vmapped
+    INSIDE the shard_map, so one pipelined program serves the whole pool per
+    step (the serving analog of the reference running multidraft against a
+    dispatch_model-sharded target, chain-of-thought-hub/gsm8k/
+    eval_speculative_decoding_llm.py:256-260)."""
+    assert cfg.num_layers % pp == 0, (cfg.num_layers, pp)
+    pspecs = pp_param_specs(params)
+    cs = pp_cache_specs()
+    from ..engine.kvcache import KVCache
+    slot_cs = KVCache(k=P(None, PIPE_AXIS), v=P(None, PIPE_AXIS),
+                      length=P(None), start=P(None, None))
+    return jax.shard_map(
+        lambda p, t, c: jax.vmap(
+            lambda tt, cc: _pp_stage_body(cfg, pp, p, tt, cc))(t, c),
+        in_specs=(pspecs, P(), slot_cs),
+        out_specs=(P(), slot_cs),
+        check_vma=False)
 
 
 # ---------------------------------------------------------------------------
@@ -213,34 +244,8 @@ def make_pp_tp_target_forward(cfg: ModelConfig, params: ModelParams,
         "PPxTP requires an untied lm_head (vocab shards)"
     pspecs = pp_tp_param_specs(params)
     cspecs = pp_tp_cache_specs()
-
-    def stage_forward(p, tokens, cache):
-        s = jax.lax.axis_index(PIPE_AXIS)
-        h = jnp.take(p.embed, tokens, axis=0).astype(cfg.dtype)
-
-        def run(args):
-            hh, cc = args
-            out, cc2 = transformer.forward(cfg, p, tokens, cc,
-                                           hidden_in=hh, skip_head=True,
-                                           tp_axis=MODEL_AXIS)
-            return out.astype(cfg.dtype), cc2
-
-        for stage in range(pp):
-            h, cache = jax.lax.cond(s == stage, run, lambda a: a, (h, cache))
-            if stage < pp - 1:
-                h = jax.lax.ppermute(
-                    h, PIPE_AXIS, [(i, i + 1) for i in range(pp - 1)])
-
-        h = jax.lax.psum(
-            jnp.where(s == pp - 1, h.astype(jnp.float32), 0.0), PIPE_AXIS)
-        x = transformer.rms_norm(h.astype(cfg.dtype), p.final_norm,
-                                 cfg.rms_norm_eps)
-        from ..ops.linear import apply_linear
-        logits = apply_linear(p.lm_head, x,
-                              path=cfg.gptq_path).astype(jnp.float32)
-        return logits, cache
-
-    return jax.shard_map(stage_forward,
-                         in_specs=(pspecs, P(), cspecs),
-                         out_specs=(P(None, None, "model"), cspecs),
-                         check_vma=False)
+    return jax.shard_map(
+        lambda p, t, c: _pp_stage_body(cfg, pp, p, t, c, tp_axis=MODEL_AXIS),
+        in_specs=(pspecs, P(), cspecs),
+        out_specs=(P(None, None, "model"), cspecs),
+        check_vma=False)

@@ -100,6 +100,31 @@ def make_tp_target_forward(cfg: ModelConfig, params: ModelParams):
         check_vma=False)
 
 
+def make_tp_server_forward(cfg: ModelConfig, params: ModelParams):
+    """SLOT-BATCHED shard_map target forward for the continuous-batching
+    SlotEngine (`engine.server.SlotEngine(target_forward=...)`): tokens
+    [SLOTS, R, T], caches with a leading slot axis, logits returned
+    vocab-sharded. The slot axis is vmapped INSIDE the shard_map so one
+    Megatron program (Pallas kernels included) runs the whole pool's verify
+    forward per step — the north-star composition of continuous batching
+    with the sharded target (BASELINE configs 3+4)."""
+    assert params.lm_head is not None, \
+        "shard_map TP requires an untied lm_head (vocab shards)"
+    assert "wqkv" not in params.layers, "TP runs keep the unfused layout"
+    pspecs = tp_param_specs(params)
+    from ..engine.kvcache import KVCache
+    slot_cs = KVCache(k=P(None, None, None, None, MODEL_AXIS, None),
+                      v=P(None, None, None, None, MODEL_AXIS, None),
+                      length=P(None), start=P(None, None))
+    return jax.shard_map(
+        lambda p, t, c: jax.vmap(
+            lambda tt, cc: transformer.forward(cfg, p, tt, cc,
+                                               tp_axis=MODEL_AXIS))(t, c),
+        in_specs=(pspecs, P(), slot_cs),
+        out_specs=(P(None, None, None, MODEL_AXIS), slot_cs),
+        check_vma=False)
+
+
 def make_tp_eagle_forward(cfg: ModelConfig, params: ModelParams,
                           feature_layers: Tuple[int, ...]):
     """Non-jitted shard_map target forward for the EAGLE engine:

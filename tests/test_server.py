@@ -101,3 +101,66 @@ def test_batched_admission_scatter():
     assert sorted(r.rid for r in done) == list(range(6))
     for r in done:
         assert 1 <= len(r.out_tokens) <= 6
+
+
+# ---------------------------------------------------------------------------
+# Serving x parallelism composition (VERDICT r2 item 2): the SlotEngine
+# drives shard_map TP and PP targets on the CPU mesh with TOKEN PARITY
+# against the unsharded engine — same seeds => identical committed streams.
+# ---------------------------------------------------------------------------
+
+def _mesh_engine_outputs(target_forward, cfg_t, params_t, n_slots=2):
+    import dataclasses
+    pd = init_params(CFG, jax.random.PRNGKey(0))
+    eng_cfg = EngineConfig(verifier=VerifierConfig(method="hsd", gamma=3),
+                           max_new_tokens=6)
+    eng = SlotEngine(CFG, cfg_t, eng_cfg, n_slots=n_slots, bucket=16,
+                     params_d=pd, params_t=params_t, seed=7,
+                     target_forward=target_forward)
+    eng.submit(0, list(range(1, 9)))
+    eng.submit(1, list(range(2, 11)))
+    done = eng.run_all()
+    return {r.rid: r.out_tokens.tolist() for r in done}
+
+
+def test_server_tp_token_parity():
+    """SlotEngine + shard_map TP target == SlotEngine + plain target,
+    token for token (same PRNG seeds; fp32 so TP psums are exact)."""
+    import dataclasses
+
+    from hsd_tpu.parallel import make_mesh
+    from hsd_tpu.parallel.tp import make_tp_server_forward, shard_params_tp
+
+    cfg_t = dataclasses.replace(
+        ModelConfig.tiny(vocab_size=64, num_kv_heads=4,
+                         tie_word_embeddings=False), dtype=jnp.float32)
+    pt = init_params(cfg_t, jax.random.PRNGKey(1))
+    base = _mesh_engine_outputs(None, cfg_t, pt)
+
+    mesh = make_mesh(data=2, model=4)
+    with jax.set_mesh(mesh):
+        spt = shard_params_tp(pt, mesh)
+        tp_out = _mesh_engine_outputs(
+            make_tp_server_forward(cfg_t, pt), cfg_t, spt)
+    assert base == tp_out, (base, tp_out)
+
+
+def test_server_pp_token_parity():
+    """SlotEngine + shard_map PP target == SlotEngine + plain target."""
+    import dataclasses
+
+    from hsd_tpu.parallel.pp import (make_pp_mesh, make_pp_server_forward,
+                                     shard_params_pp)
+
+    cfg_t = dataclasses.replace(ModelConfig.tiny(vocab_size=64),
+                                dtype=jnp.float32)
+    pt = init_params(cfg_t, jax.random.PRNGKey(1))
+    base = _mesh_engine_outputs(None, cfg_t, pt)
+
+    pp = min(2, cfg_t.num_layers)
+    pmesh = make_pp_mesh(pp)
+    with jax.set_mesh(pmesh):
+        ppt = shard_params_pp(pt, pmesh)
+        pp_out = _mesh_engine_outputs(
+            make_pp_server_forward(cfg_t, pt, pp), cfg_t, ppt)
+    assert base == pp_out, (base, pp_out)

@@ -140,6 +140,134 @@ def init_quantized_params(cfg: ModelConfig, key: jax.Array,
                        final_norm=jnp.ones((D,), jnp.float32), lm_head=head)
 
 
+class CoupledEagleParams(NamedTuple):
+    """Parameters of the coupled EAGLE target: the big trunk plus the shared
+    bigram-oracle pieces (aliases of the head's arrays — no extra memory)."""
+    big: ModelParams
+    embed: jax.Array      # [V, D]   shared with EagleParams.embed
+    fc_e: jax.Array       # [D, D]   emb half of the head's fc
+    lm_head: jax.Array    # [D, V]   shared with EagleParams.lm_head
+    scale: jax.Array      # f32 — sharpening of the oracle signal
+    lam: jax.Array        # f32 — weight of the standardized big logits
+
+
+def build_bigram_eagle_head(ecfg, key: jax.Array):
+    """Construct an EAGLE-1 head (models/eagle.py version=1 geometry) that
+    computes an EXACT bigram oracle while paying the full head compute.
+
+    With fc = [A; 0] (feature half zeroed), fc_b = 0, wo = 0, wdown = 0 the
+    v1 forward collapses to out = A @ emb[token] at EVERY absorb position and
+    beam level (head_forward: out = fused + wo@att + wdown@mlp), and
+    draft_logp applies lm_head directly, so
+
+        head_logits(tok) = (emb[tok] @ A) @ lm_head  =: u(tok)
+
+    — a pure function of the current token, exactly representable by the
+    head architecture at all trie depths. Attention and MLP still run with
+    random nonzero wq/wk/wv/wgate/wup, so the measured cost is the real v1
+    head cost (zero OUTPUT projections change no matmul shapes). The coupled
+    target (make_coupled_eagle_target) computes the same u(tok), so trie
+    acceptance is a calibratable function of (scale, lam) — the EAGLE analog
+    of the coupled GSM8K construction above.
+    """
+    import dataclasses as _dc
+
+    from ..models.eagle import EagleParams, init_eagle_params_v1
+    assert ecfg.version == 1, "bigram oracle construction is v1-exact only"
+    p = init_eagle_params_v1(ecfg, key)
+    D = ecfg.hidden_size
+    kA = jax.random.fold_in(key, 101)
+    A = (jax.random.normal(kA, (D, D), jnp.float32) * D ** -0.5
+         ).astype(ecfg.dtype)
+    fc = jnp.concatenate([A, jnp.zeros((D, D), ecfg.dtype)], axis=0)
+    return p._replace(fc=fc,
+                      fc_b=jnp.zeros((D,), ecfg.dtype),
+                      wo=jnp.zeros_like(p.wo),
+                      wdown=jnp.zeros_like(p.wdown))
+
+
+def oracle_logits(cp: CoupledEagleParams, tokens: jax.Array) -> jax.Array:
+    """u(tok) = (emb[tok] @ fc_e) @ lm_head — evaluated the same way the
+    head evaluates it (two matmuls, same dtypes) so both sides see the same
+    numerics."""
+    emb = jnp.take(cp.embed, tokens, axis=0)
+    return (emb @ cp.fc_e @ cp.lm_head).astype(jnp.float32)
+
+
+def make_coupled_eagle_target(cfg_big: ModelConfig, feature_layers):
+    """Coupled target forward for the EAGLE engine
+    (`make_eagle_generate(target_forward=...)` signature):
+
+        p_logits = scale * standardize(u(token)) + lam * standardize(big)
+
+    Both signals are standardized per position (mean 0 / std 1 over the
+    vocab), so `scale` and `lam` are in logit-std units and the head's
+    top-k proposals stay EXACTLY aligned with the scale term (standardize
+    is a monotone per-row affine map of u, so top-k(u) == top-k(z_u)).
+    Every position pays the full big-geometry forward (plus one oracle
+    lm_head application — the same extra matmul a real EAGLE target pays for
+    its own head); features stream from the big trunk as usual (the head
+    consumes them structurally but its constructed fc zeros them, see
+    build_bigram_eagle_head)."""
+    def _std(x):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        sd = jnp.std(x, axis=-1, keepdims=True) + 1e-6
+        return (x - mu) / sd
+
+    def forward(cp: CoupledEagleParams, tokens, cache, attn_bias, positions):
+        big_logits, cache, feats = transformer.forward(
+            cfg_big, cp.big, tokens, cache, attn_bias=attn_bias,
+            positions=positions, feature_layers=feature_layers)
+        u = oracle_logits(cp, tokens)
+        return cp.scale * _std(u) + cp.lam * _std(big_logits), cache, feats
+
+    return forward
+
+
+def build_coupled_eagle_pair(key: jax.Array, cfg_big: ModelConfig, ecfg,
+                             scale: float = 4.0, lam: float = 0.0,
+                             big_bits: int = 8, oov_scale: float = 0.5):
+    """(head_params, CoupledEagleParams) for the EAGLE e2e benchmark at big
+    geometry: int8 big trunk, v1 bigram-oracle head sharing embed/fc/lm_head
+    arrays with the target's oracle.
+
+    Reduced draft vocab (ecfg.draft_vocab_size < vocab_size, the EAGLE-3
+    setting): the head ranks over the first Vd target ids (d2t == 0) and the
+    target's oracle extends the same matrix with DOWN-WEIGHTED columns for
+    the out-of-vocab ids (`oov_scale` < 1) — the target occasionally prefers
+    a token the head cannot propose, modeling the real head's draft-vocab
+    misses while keeping in-vocab rankings exactly aligned."""
+    kb, ke = jax.random.split(key)
+    head = build_bigram_eagle_head(ecfg, ke)
+    big = init_quantized_params(cfg_big, kb, bits=big_bits)
+    D = ecfg.hidden_size
+    Vd, V = ecfg.draft_vocab_size, ecfg.vocab_size
+    if Vd < V:
+        rest = (jax.random.normal(jax.random.fold_in(key, 7), (D, V - Vd),
+                                  jnp.float32) * D ** -0.5 * oov_scale
+                ).astype(ecfg.dtype)
+        lm_full = jnp.concatenate([head.lm_head, rest], axis=1)
+    else:
+        lm_full = head.lm_head
+    # Sharpen the head's OWN distribution to ~the target's effective
+    # sharpness (a trained head matches the target's entropy): scale lm_head
+    # so the head's logit-std per row ~= `scale`. Without this the beam's
+    # cumulative log-probs are flat and the global top-N cut keeps only
+    # level-0/1 nodes — no deep paths, acceptance artificially capped (the
+    # raw random-matrix u has logit-std ~0.05). Monotone per row, so the
+    # head's top-k stays exactly aligned with the standardized target term.
+    probe = jax.random.randint(jax.random.fold_in(key, 8), (128,), 0, V)
+    u_probe = jnp.take(head.embed, probe, axis=0) @ head.fc[:D] @ lm_full
+    sd = jnp.mean(jnp.std(u_probe.astype(jnp.float32), axis=-1))
+    factor = (jnp.float32(scale) / jnp.maximum(sd, 1e-6)).astype(ecfg.dtype)
+    head = head._replace(lm_head=head.lm_head * factor)
+    lm_full = lm_full * factor
+    target = CoupledEagleParams(
+        big=big, embed=head.embed, fc_e=head.fc[:D], lm_head=lm_full,
+        scale=jnp.float32(scale), lam=jnp.float32(lam))
+    return head, target
+
+
 def quantize_draft(cfg: ModelConfig, params: ModelParams,
                    bits: int = 8) -> ModelParams:
     """GPTQ-style quantization of a (fused-layout) small model's matmul

@@ -169,6 +169,7 @@ def run_eval(cfg_draft: ModelConfig, cfg_target: ModelConfig, params_draft,
     summary["accuracy"] = accuracy([a[1] for a in answers],
                                    [a[2] for a in answers])
     summary["artifacts"] = {"answers": ans_path, "counts": counts_path}
+    summary["model_answers"] = [a[1] for a in answers]
     return summary
 
 

@@ -77,40 +77,36 @@ def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
     rows: byte i holds input rows 2i (low nibble) / 2i+1 (high nibble), which
     share a quantization group, so one scale slice serves both nibble planes.
 
-    All operands arrive pre-arranged in 3D group-major form (x deinterleaved
-    and grouped [gpb, n, gs_p]; packed weights [gpb, gs_p, out]) so the
-    kernel body has NO reshapes/transposes (Mosaic relayouts): bit-ops to
-    split nibbles, two batched MXU dots on raw codes (exact in bf16), and the
-    per-group scale applied to the tiny partial outputs instead of the
-    streamed weight tile. Weight stream is HALF the int8 kernel's bytes."""
+    Same 2D streaming pipeline as the int8 kernel (weight tile [in_p, out]
+    blocks, full-K dots) — the round-2 group-major form (batched K=64 dots
+    over a [gpb, gs_p, out] tile) throttled the DMA/compute pipeline and
+    measured 356 GB/s; this form dequantizes in place and feeds two big
+    MXU dots. The low nibble is never materialized: with b = lo + 16*hi,
+
+        sum_r lo*xe + hi*xo  =  sum_r b*xe + hi*(xo - 16*xe)
+
+    and xm = xo - 16*xe is precomputed on the (tiny) activations, so the
+    per-streamed-byte VPU work is one u8->i32 hop (no direct u8->f32 on
+    Mosaic), one shift, two converts and two scale multiplies — the weight
+    stream is HALF the int8 kernel's bytes. Nibbles are stored UNSIGNED
+    (ops/linear.pack_int4); the -8 shift rides the rank-1 zero correction
+    outside the kernel."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    xe = xe_ref[:]                                 # [gpb, n, gs_p]
-    # nibbles are stored UNSIGNED (ops/linear.pack_int4) with the -8 shift
-    # folded into the zero correction outside the kernel. The low nibble is
-    # never materialized: with b = lo + 16*hi,
-    #   sum lo*xe + sum hi*xo = sum b*xe + sum hi*(xo - 16*xe)
-    # and xm = xo - 16*xe is precomputed on the (tiny) activations, so the
-    # per-streamed-byte VPU work is cast / shift / 2 converts — every other
-    # op rides the MXU (raw-byte dot + hi dot) or the partial outputs.
-    xm = xm_ref[:]
-    # NOTE: Mosaic has no direct u8->bf16 convert (tried: a float-domain
-    # floor(b/16) nibble split would save one convert/byte, but the mandatory
-    # u8->i32 hop erases the gain), so the int-domain split stays.
-    b = (w_ref[0] if stacked else w_ref[:]).astype(jnp.int32)  # [gpb, gs_p, out_blk]
-    braw = b.astype(xe.dtype)                      # lo + 16*hi
-    hi = (b >> 4).astype(xe.dtype)                 # rows 2i+1
+    b = (w_ref[0] if stacked else w_ref[:]).astype(jnp.int32)  # [in_p, out]
+    in_p, out_blk = b.shape
     scale = _scale_slice(s_ref, gpb, n_in_blocks, stacked=stacked)
-    dims = (((2,), (1,)), ((0,), (0,)))
-    part = (jax.lax.dot_general(xe, braw, dims,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(xm, hi, dims,
-                                  preferred_element_type=jnp.float32))
-    acc_ref[:] += jnp.sum(part * scale[:, None, :], axis=0)
+    bf = b.astype(jnp.float32).reshape(gpb, gs_p, out_blk)
+    hf = (b >> 4).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
+    wl = (bf * scale[:, None, :]).reshape(in_p, out_blk)     # (lo+16*hi)*s
+    wh = (hf * scale[:, None, :]).reshape(in_p, out_blk)     # hi*s
+    acc_ref[:] += (jnp.dot(xe_ref[:], wl, preferred_element_type=jnp.float32)
+                   + jnp.dot(xm_ref[:], wh,
+                             preferred_element_type=jnp.float32))
 
     @pl.when(i == n_in_blocks - 1)
     def _():
@@ -216,11 +212,12 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
                     best = d
             block_out = best
     if packed:
-        # VMEM model for the int4 kernel: u8 weight tile gpb*gs_k*bo plus two
-        # f32 batched-dot partials gpb*npad*bo*4 — the partials dominate at
-        # prefill batch sizes, so bound bo by the full expression
-        cap = vmem_cap_mb * 1024 * 1024
-        denom = gpb * (gs_k + 8 * npad)
+        # VMEM model for the int4 kernel: double-buffered u8 weight tile
+        # (2 * in_p * bo) + the two f32 dequantized planes (8 * in_p * bo)
+        # + f32 nibble temps; bound bo by ~14 bytes per (in_p, bo) cell
+        # against a 24MB working budget (vmem_limit below is 64MB)
+        cap = 24 * 1024 * 1024
+        denom = 14 * block_in + 16 * npad
         limit = max(128, cap // denom)
         if block_out > limit:
             best = 128
@@ -239,16 +236,12 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
         w_map = lambda o, i, s: (s[0], i, o)
         s_map = lambda o, i, s: (s[0], 0, o)
         x_map = lambda o, i, s: (0, i)
-        x3_map = lambda o, i, s: (i, 0, 0)
-        w3_map = lambda o, i, s: (s[0], i, 0, o)
         o_map = lambda o, i, s: (0, o)
     else:
         wl = ()
         w_map = lambda o, i: (i, o)
         s_map = lambda o, i: (0, o)
         x_map = lambda o, i: (0, i)
-        x3_map = lambda o, i: (i, 0, 0)
-        w3_map = lambda o, i: (i, 0, o)
         o_map = lambda o, i: (0, o)
 
     w_spec = pl.BlockSpec((*wl, block_in, block_out), w_map,
@@ -257,20 +250,15 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
                           memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((npad, block_in), x_map, memory_space=pltpu.VMEM)
     if packed:
-        # deinterleave + group-major arrange x once (XLA-side, x is tiny):
-        # even columns pair with low nibbles; weights ride as [G, gs_p, out]
-        # so the kernel body needs no reshapes (Mosaic relayouts)
-        xe = x2[:, 0::2].reshape(npad, groups, gs_k).transpose(1, 0, 2)
-        xo = x2[:, 1::2].reshape(npad, groups, gs_k).transpose(1, 0, 2)
-        xm = (xo.astype(jnp.float32)
-              - 16.0 * xe.astype(jnp.float32)).astype(xe.dtype)
-        x3_spec = pl.BlockSpec((gpb, npad, gs_k), x3_map,
-                               memory_space=pltpu.VMEM)
-        w3_spec = pl.BlockSpec((*wl, gpb, gs_k, block_out), w3_map,
-                               memory_space=pltpu.VMEM)
-        in_specs = [x3_spec, x3_spec, w3_spec, s_spec]
-        args = [xe, xm, qw.qweight.reshape(*qw.qweight.shape[:-2],
-                                           groups, gs_k, dout), qw.scales]
+        # deinterleave x once (XLA-side, x is tiny): even columns pair with
+        # low nibbles; the xm plane carries the never-materialized-lo
+        # identity (see _kernel_int4). Both planes ride the int8 kernel's
+        # 2D [npad, block_in] blocking over PACKED rows.
+        xe = x2[:, 0::2].astype(jnp.float32)
+        xo = x2[:, 1::2].astype(jnp.float32)
+        xm = xo - 16.0 * xe
+        in_specs = [x_spec, x_spec, w_spec, s_spec]
+        args = [xe, xm, qw.qweight, qw.scales]
         kern = functools.partial(_kernel_int4, gpb=gpb, gs_p=gs_k,
                                  n_in_blocks=n_in_blocks, stacked=stacked)
     else:

@@ -183,12 +183,14 @@ def _gptq_linear(t: Dict[str, np.ndarray], prefix: str, bits: int,
     else:
         zeros = None  # symmetric: w = scale * code'
     if bits == 4 and din % 2 == 0:
-        # keep 4-bit checkpoints nibble-packed (uint8 marker dtype): rows
-        # 2i/2i+1 per byte, nibbles stored unsigned (= raw GPTQ codes; the
-        # -8 shift rides in the kernel's zero correction) — halves the
-        # decode weight stream (ops/linear.py pack_int4 convention)
+        # keep 4-bit checkpoints nibble-packed (uint8 marker dtype):
+        # SPLIT-HALF pairing (row i | row i+din/2 — ops/linear.py pack_int4
+        # convention), nibbles stored unsigned (= raw GPTQ codes; the -8
+        # shift rides in the kernel's zero correction) — halves the decode
+        # weight stream and keeps the kernel's activation planes contiguous
         c = qweight.astype(np.int32)               # unsigned 0..15 codes
-        q = (((c[1::2] & 0xF) << 4) | (c[0::2] & 0xF)).astype(np.uint8)
+        half = din // 2
+        q = (((c[half:] & 0xF) << 4) | (c[:half] & 0xF)).astype(np.uint8)
     else:
         q = codes.astype(np.int8)
     return QuantizedLinear(

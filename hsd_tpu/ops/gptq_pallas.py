@@ -74,23 +74,30 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs, n_in_blocks,
 def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
                  gpb, gs_p, n_in_blocks, stacked=False):
     """Nibble-packed int4 variant. Grid (out_blocks, in_blocks) over PACKED
-    rows: byte i holds input rows 2i (low nibble) / 2i+1 (high nibble), which
-    share a quantization group, so one scale slice serves both nibble planes.
+    rows with SPLIT-HALF pairing (ops/linear.pack_int4): byte r holds input
+    rows r (low nibble) and r + din/2 (high nibble), so the activation
+    planes are the CONTIGUOUS halves of x (the previous adjacent-row pairing
+    needed a stride-2 deinterleave per call, measured ~15us and ~480 vs
+    ~600-730 GB/s) and each nibble plane spans WHOLE quantization groups:
+    lo scales = groups [0, G/2), hi scales = [G/2, G) (requires G even;
+    pallas_supported gates odd-G shapes to the XLA path).
 
     Same 2D streaming pipeline as the int8 kernel (weight tile [in_p, out]
     blocks, full-K dots) — the round-2 group-major form (batched K=64 dots
     over a [gpb, gs_p, out] tile) throttled the DMA/compute pipeline and
-    measured 356 GB/s; this form dequantizes in place and feeds two big
-    MXU dots. The low nibble is never materialized: with b = lo + 16*hi,
+    measured 356 GB/s. Both nibbles dequantize explicitly (the xm modular
+    identity that skipped the lo extraction needs ONE scale per byte; with
+    per-plane scales it does not factor):
 
-        sum_r lo*xe + hi*xo  =  sum_r b*xe + hi*(xo - 16*xe)
+        y = xe @ (lo * s_lo)  +  xo @ (hi * s_hi)
 
-    and xm = xo - 16*xe is precomputed on the (tiny) activations, so the
-    per-streamed-byte VPU work is one u8->i32 hop (no direct u8->f32 on
-    Mosaic), one shift, two converts and two scale multiplies — the weight
-    stream is HALF the int8 kernel's bytes. Nibbles are stored UNSIGNED
-    (ops/linear.pack_int4); the -8 shift rides the rank-1 zero correction
-    outside the kernel."""
+    Per-streamed-byte VPU work: one u8->i32 hop (no direct u8->f32 on
+    Mosaic), one AND, one shift, two f32 converts (NOT bf16: measured
+    192-338 GB/s vs f32 — the i32->bf16 convert + 16-bit VPU ops cost more
+    than the halved VMEM traffic saves) and two scale multiplies; the
+    weight stream is HALF the int8 kernel's bytes. Nibbles are stored
+    UNSIGNED; the -8 shift rides the rank-1 zero correction outside the
+    kernel."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -99,11 +106,15 @@ def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
 
     b = (w_ref[0] if stacked else w_ref[:]).astype(jnp.int32)  # [in_p, out]
     in_p, out_blk = b.shape
-    scale = _scale_slice(s_ref, gpb, n_in_blocks, stacked=stacked)
-    bf = b.astype(jnp.float32).reshape(gpb, gs_p, out_blk)
+    # scales arrive pre-reshaped [2, n_in_blocks, gpb, out] (lo/hi plane
+    # leading) with the in-block axis indexed by the BlockSpec — no dynamic
+    # slice, so block_in needs no 8-aligned group count
+    sp = (s_ref[0] if stacked else s_ref[:]).astype(jnp.float32)
+    sl, sh = sp[0, 0], sp[1, 0]                               # [gpb, out]
+    lf = (b & 15).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
     hf = (b >> 4).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
-    wl = (bf * scale[:, None, :]).reshape(in_p, out_blk)     # (lo+16*hi)*s
-    wh = (hf * scale[:, None, :]).reshape(in_p, out_blk)     # hi*s
+    wl = (lf * sl[:, None, :]).reshape(in_p, out_blk)        # lo*s_lo
+    wh = (hf * sh[:, None, :]).reshape(in_p, out_blk)        # hi*s_hi
     acc_ref[:] += (jnp.dot(xe_ref[:], wl, preferred_element_type=jnp.float32)
                    + jnp.dot(xm_ref[:], wh,
                              preferred_element_type=jnp.float32))
@@ -128,6 +139,21 @@ def _pick_block_out(dout: int, block_in: int, vmem_cap: int) -> int:
         if dout % d == 0 and block_in * d <= vmem_cap:
             best = d
     return best or 128
+
+
+def _pick_block_in_packed(rows: int, gs_p: int, target: int = 3584) -> int:
+    """Packed-int4 in-block: largest multiple of the packed group size that
+    divides `rows` and fits `target`. No 8-aligned group-count constraint
+    (the scale slice is BlockSpec-indexed, see _kernel_int4) — tall weights
+    (e.g. wdown 6912 packed rows = 108 groups) split their in-dim so the f32
+    dequant planes stay small and the out-block stays WIDE (DMA chunk width
+    dominated the measured rate: 256B-chunk tiles ran 220-238 GB/s)."""
+    if rows <= target:
+        return rows
+    for d in range(target // gs_p, 0, -1):
+        if rows % (d * gs_p) == 0:
+            return d * gs_p
+    return rows
 
 
 def _pick_block_in(din: int, gs: int, target: int = 8192) -> int:
@@ -172,7 +198,9 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
     din = 2 * rows if packed else rows
     groups = qw.scales.shape[-2]
     gs = din // groups                         # original group size
-    gs_k = gs // 2 if packed else gs           # group size in WEIGHT rows
+    # packed rows per scale-plane group: with split-half pairing each
+    # nibble plane spans whole groups of gs BYTE rows (see pack_int4)
+    gs_k = gs
     lead = x.shape[:-1]
     x2 = x.reshape(-1, din)
     n = x2.shape[0]
@@ -181,7 +209,8 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
 
     if block_in == 0:
-        block_in = _pick_block_in(rows, gs_k)
+        block_in = (_pick_block_in_packed(rows, gs_k) if packed
+                    else _pick_block_in(rows, gs_k))
     block_in = min(block_in, rows)
     if block_out == 0:
         block_out = _pick_block_out(dout, block_in, vmem_cap_mb * 1024 * 1024)
@@ -214,9 +243,12 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
     if packed:
         # VMEM model for the int4 kernel: double-buffered u8 weight tile
         # (2 * in_p * bo) + the two f32 dequantized planes (8 * in_p * bo)
-        # + f32 nibble temps; bound bo by ~14 bytes per (in_p, bo) cell
-        # against a 24MB working budget (vmem_limit below is 64MB)
-        cap = 24 * 1024 * 1024
+        # + f32 nibble temps (partially fused by Mosaic); bound bo by ~14
+        # bytes per (in_p, bo) cell against a 48MB working budget
+        # (vmem_limit below is 96MB for packed; v5e has 128MiB physical) —
+        # measured: the 24MB budget forced wdown [6912, 5120] to bo=128 and
+        # 238 GB/s; bo=256+ restores the pipeline
+        cap = 48 * 1024 * 1024
         denom = 14 * block_in + 16 * npad
         limit = max(128, cap // denom)
         if block_out > limit:
@@ -250,15 +282,28 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
                           memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((npad, block_in), x_map, memory_space=pltpu.VMEM)
     if packed:
-        # deinterleave x once (XLA-side, x is tiny): even columns pair with
-        # low nibbles; the xm plane carries the never-materialized-lo
-        # identity (see _kernel_int4). Both planes ride the int8 kernel's
-        # 2D [npad, block_in] blocking over PACKED rows.
-        xe = x2[:, 0::2].astype(jnp.float32)
-        xo = x2[:, 1::2].astype(jnp.float32)
-        xm = xo - 16.0 * xe
-        in_specs = [x_spec, x_spec, w_spec, s_spec]
-        args = [xe, xm, qw.qweight, qw.scales]
+        # split-half planes: xe/xo are the CONTIGUOUS halves of x (free —
+        # the old stride-2 deinterleave measured ~15us/call). Both planes
+        # ride the int8 kernel's 2D [npad, block_in] blocking over PACKED
+        # rows. Scales split into the lo/hi plane groups and reshape to
+        # [2, n_in_blocks, gpb, out] so the BlockSpec selects plane +
+        # in-block with no dynamic slicing.
+        xe = x2[:, :rows].astype(jnp.float32)
+        xo = x2[:, rows:].astype(jnp.float32)
+        g2 = groups // 2
+        s3 = jnp.stack([qw.scales[..., :g2, :], qw.scales[..., g2:, :]],
+                       axis=-3)
+        s3 = s3.reshape(*qw.scales.shape[:-2], 2, n_in_blocks, gpb, dout)
+        if stacked:
+            s3_spec = pl.BlockSpec((1, 2, 1, gpb, block_out),
+                                   lambda o, i, s: (s[0], 0, i, 0, o),
+                                   memory_space=pltpu.VMEM)
+        else:
+            s3_spec = pl.BlockSpec((2, 1, gpb, block_out),
+                                   lambda o, i: (0, i, 0, o),
+                                   memory_space=pltpu.VMEM)
+        in_specs = [x_spec, x_spec, w_spec, s3_spec]
+        args = [xe, xo, qw.qweight, s3]
         kern = functools.partial(_kernel_int4, gpb=gpb, gs_p=gs_k,
                                  n_in_blocks=n_in_blocks, stacked=stacked)
     else:
@@ -277,7 +322,7 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
             # kernel's double-buffered weight tiles at prefill row counts)
             # exceed the 16MB default scoped budget at useful block sizes;
             # v5e has 128MiB physical VMEM
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=(96 if packed else 64) * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * din * dout,
             bytes_accessed=rows * dout + npad * din * 4 + npad * dout * 4,
@@ -331,8 +376,10 @@ def pallas_supported(x: jax.Array, qw: QuantizedLinear) -> bool:
     if qw.qweight.dtype == jnp.uint8:      # nibble-packed int4
         din = 2 * rows
         gs = din // groups
-        # gs/2 packed rows per group must be a 32-multiple (uint8 sublane)
-        if din % gs or gs % 64 or dout % 128:
+        # split-half pairing needs each nibble plane to span WHOLE groups
+        # (groups even); gs sets the packed rows per plane-group (sublane
+        # constraints on the reshape)
+        if din % gs or gs % 64 or dout % 128 or groups % 2:
             return False
         return True
     if qw.qweight.dtype != jnp.int8:

@@ -12,22 +12,22 @@ agreement is engineered with the coupled-target construction
     p = softmax(small_bf16(x) + lam * zbig(x))  # the target: full 14B-int4
                                                 # forward + the small trunk
 
-Divergence comes from int8 quantization error (the reference's own GPTQ
-mechanism) plus `lam` standardized big-model logits; `lam` is AUTO-CALIBRATED
-at runtime so HSD block efficiency lands in the reference's published band
-(6.3-6.65), and the calibrated value is reported. Every committed token costs
-the full 14B-int4 forward, so tok/s and the spec-vs-AR speedup are measured
-honestly at the reference's size ratio.
+Divergence is PURE int8 quantization error (the reference's own GPTQ
+mechanism; lam=0). The trunk-sharpening `scale` is AUTO-CALIBRATED so the
+TOKENWISE BE lands at the reference's published 5.99 — the HSD delta is then
+measured in the reference's own acceptance regime (round-2 review item 6).
+Every committed token costs the full 14B-int4 forward, so tok/s and the
+spec-vs-AR speedup are measured honestly at the reference's size ratio.
 
 Prints ONE json line:
   metric       block efficiency of HSD verification (tokens per target step)
   vs_baseline  value / 6.30 — the reference's published HSD BE at 14B
-plus context: tokenwise BE, AR/tokenwise/HSD tok/s, spec-vs-AR speedup,
-HSD-vs-tokenwise speedup, and K=11 multidraft rows (reference configs 3/4).
+plus context: tokenwise BE, 95% CIs over per-prompt BEs (10 prompts),
+AR/tokenwise/HSD tok/s, speedups, and K=11 multidraft rows (reference
+configs 3/4).
 
-Env knobs: BENCH_GAMMA, BENCH_MAX_NEW, BENCH_PROMPTS, BENCH_LAM (skip
-auto-calibration), BENCH_SCALE, BENCH_LAYERS (0=full 48), BENCH_K11=0,
-BENCH_AR_NEW.
+Env knobs: BENCH_GAMMA, BENCH_MAX_NEW, BENCH_PROMPTS, BENCH_SCALE (skip
+calibration), BENCH_LAYERS (0=full 48), BENCH_K11=0, BENCH_AR_NEW.
 """
 import json
 import os
@@ -47,7 +47,7 @@ from hsd_tpu.eval.synthetic import build_coupled_pair, make_coupled_target
 
 GAMMA = int(os.environ.get("BENCH_GAMMA", 10))
 MAX_NEW = int(os.environ.get("BENCH_MAX_NEW", 256))
-N_PROMPTS = int(os.environ.get("BENCH_PROMPTS", 3))
+N_PROMPTS = int(os.environ.get("BENCH_PROMPTS", 10))
 AR_NEW = int(os.environ.get("BENCH_AR_NEW", 96))
 K11 = bool(int(os.environ.get("BENCH_K11", "1")))
 # each distinct program pays a ~3min one-time compile at FIRST EXECUTION on
@@ -60,7 +60,6 @@ _T0 = time.time()
 # acceptance regime (round-1 calibration: 1.65 -> BE ~7 at lam=0).
 LOGIT_SCALE = float(os.environ.get("BENCH_SCALE", 1.65))
 _LAYERS = int(os.environ.get("BENCH_LAYERS", 0))   # 0 = full 14B depth
-BE_TARGET = float(os.environ.get("BENCH_BE_TARGET", 6.65))
 
 CFG_S = ModelConfig.qwen2_05b()
 CFG_B = ModelConfig.qwen2_14b(**({"num_layers": _LAYERS} if _LAYERS else {}))
@@ -69,7 +68,9 @@ PLEN = jnp.int32(64)
 
 
 def run(gen, pd, pt, key, n_prompts=N_PROMPTS, warm=True):
-    accepts, toks, secs = [], 0, 0.0
+    """Returns (be_mean, tok_s, be_ci95) with per-PROMPT block efficiencies
+    feeding the CI (prompts are independent; within-prompt blocks are not)."""
+    per_prompt, toks, secs = [], 0, 0.0
     if warm:
         r = gen(pd, pt, PROMPT, PLEN, jax.random.fold_in(key, 999))
         r.tokens.block_until_ready()            # compile + cache warmup
@@ -79,50 +80,59 @@ def run(gen, pd, pt, key, n_prompts=N_PROMPTS, warm=True):
         res.tokens.block_until_ready()
         secs += time.perf_counter() - t0
         toks += int(res.ncommit)
-        accepts.extend(np.asarray(res.accepts)[:int(res.blocks)].tolist())
-    be = float(np.mean([a + 1 for a in accepts])) if accepts else 0.0
-    return be, toks / secs if secs else 0.0
+        acc = np.asarray(res.accepts)[:int(res.blocks)]
+        if acc.size:
+            per_prompt.append(float(np.mean(acc + 1)))
+    be = float(np.mean(per_prompt)) if per_prompt else 0.0
+    ci = (1.96 * float(np.std(per_prompt, ddof=1)) / len(per_prompt) ** 0.5
+          if len(per_prompt) > 1 else 0.0)
+    return be, toks / secs if secs else 0.0, ci
 
 
-def calibrate(gen, draft, target, key):
-    """Binary-search lam (target-only logit signal) so HSD BE lands at
-    BE_TARGET. lam is a traced scalar, so every probe reuses the compiled
-    generate. Returns (lam, probe_log)."""
+def calibrate_scale(gen_tok, key, target_be=6.0, probes=4):
+    """Calibrate LOGIT_SCALE so the TOKENWISE BE lands in the reference's
+    regime (5.99 at 14B, README.md:121-123) — round-2 review: calibrating
+    only the HSD BE left tokenwise at 5.36 and measured the HSD delta
+    out-of-regime. The divergence mechanism stays pure int8-GPTQ
+    quantization error (lam = 0); `scale` sharpens the shared trunk, and
+    sharper logits amplify the quantization divergence (lower BE). Each
+    probe rebuilds the coupled pair (weights are jit args — no recompile).
+    Returns (scale, probe_log)."""
     log = []
+    first = [True]
 
-    def be_at(lam):
-        be, _ = run(gen, draft, target._replace(lam=jnp.float32(lam)), key,
-                    n_prompts=1, warm=False)
-        log.append((round(lam, 4), round(be, 3)))
+    def be_at(s):
+        # ONE pair alive at a time: a 14B-int4 pair is ~9GB — two concurrent
+        # builds RESOURCE_EXHAUST the 16GB chip (r3 crash). The local pair
+        # frees on return before the next probe builds.
+        draft, target = build_coupled_pair(jax.random.PRNGKey(0), CFG_S,
+                                           CFG_B, lam=0.0, logit_scale=s)
+        be, _, _ = run(gen_tok, draft, target, key, n_prompts=2,
+                       warm=first[0])
+        first[0] = False
+        log.append((round(s, 3), round(be, 3)))
         return be
 
-    # warm the compile once
-    run(gen, draft, target, key, n_prompts=0, warm=True)
-    be0 = be_at(0.0)
-    if be0 <= BE_TARGET:
-        return 0.0, log
-    lo, hi = 0.0, 0.8
+    lo, hi = 1.0, LOGIT_SCALE          # BE falls as scale rises
     be_hi = be_at(hi)
-    while be_hi > BE_TARGET and hi < 6.0:
-        lo, hi = hi, hi * 2
+    if abs(be_hi - target_be) < 0.15:
+        return hi, log
+    while be_hi > target_be and hi < 4.0:   # not divergent enough: raise hi
+        lo, hi = hi, hi * 1.4
         be_hi = be_at(hi)
-    for _ in range(4):
+    for _ in range(probes):
         mid = 0.5 * (lo + hi)
-        if be_at(mid) > BE_TARGET:
-            lo = mid
-        else:
+        if be_at(mid) < target_be:
             hi = mid
+        else:
+            lo = mid
+        if abs(log[-1][1] - target_be) < 0.1:
+            return log[-1][0], log
     return 0.5 * (lo + hi), log
 
 
 def main():
     key = jax.random.PRNGKey(0)
-    t_build = time.perf_counter()
-    draft, target = build_coupled_pair(key, CFG_S, CFG_B, lam=0.0,
-                                       logit_scale=LOGIT_SCALE)
-    jax.block_until_ready(target.big.layers["wdown"].qweight)
-    fwd, cache_ops = make_coupled_target(CFG_S, CFG_B)
-    build_s = time.perf_counter() - t_build
 
     def spec_gen(method, K=1):
         eng = EngineConfig(
@@ -131,36 +141,40 @@ def main():
         return make_generate(CFG_S, CFG_B, eng, target_forward=fwd,
                              target_cache_ops=cache_ops)
 
-    gen_hsd = spec_gen("hsd")
-    if "BENCH_LAM" in os.environ:
-        lam, cal_log = float(os.environ["BENCH_LAM"]), []
+    fwd, cache_ops = make_coupled_target(CFG_S, CFG_B)
+    gen_tok = spec_gen("tokenwise")
+    t_build = time.perf_counter()
+    if "BENCH_SCALE" in os.environ:
+        scale, cal_log = LOGIT_SCALE, []
     else:
-        # calibrate on the SAME key stream the headline measurement uses so
-        # per-prompt sampling variance doesn't drag the measured BE out of
-        # the published band (round-2: key(3) calibration to 6.55 measured
-        # 6.238 on the fold(0,1) prompts)
-        lam, cal_log = calibrate(gen_hsd, draft, target,
-                                 jax.random.fold_in(key, 1))
-        print(f"calibrated lam={lam:.4f} probes={cal_log}", flush=True)
-    target = target._replace(lam=jnp.float32(lam))
+        # calibrate the trunk sharpening so TOKENWISE BE ~= the reference's
+        # 5.99 (the HSD delta is then measured in-regime; round-2 calibrated
+        # only HSD and left tokenwise at 5.36). lam stays 0: divergence is
+        # pure int8-GPTQ quantization error, the reference's own mechanism.
+        # The first probe warms the compile.
+        scale, cal_log = calibrate_scale(gen_tok, jax.random.fold_in(key, 2),
+                                         target_be=5.99)
+        print(f"calibrated scale={scale:.3f} probes={cal_log}", flush=True)
+    draft, target = build_coupled_pair(key, CFG_S, CFG_B, lam=0.0,
+                                       logit_scale=scale)
+    jax.block_until_ready(target.big.layers["wdown"].qweight)
+    build_s = time.perf_counter() - t_build
 
     results = {}
-    results["hsd"] = run(gen_hsd, draft, target, jax.random.fold_in(key, 1),
-                         warm=False)
-    print(f"[{time.time() - _T0:.0f}s] hsd done {results['hsd']}", flush=True)
-    results["tokenwise"] = run(spec_gen("tokenwise"), draft, target,
-                               jax.random.fold_in(key, 2))
+    results["tokenwise"] = run(gen_tok, draft, target,
+                               jax.random.fold_in(key, 2), warm=False)
     print(f"[{time.time() - _T0:.0f}s] tokenwise done "
           f"{results['tokenwise']}", flush=True)
-    k11_ran = False
+    results["hsd"] = run(spec_gen("hsd"), draft, target,
+                         jax.random.fold_in(key, 1))
+    print(f"[{time.time() - _T0:.0f}s] hsd done {results['hsd']}", flush=True)
     if K11 and time.time() - _T0 < BUDGET_S:
         for m in ("hsd", "tokenwise"):
             results[f"{m}_k11"] = run(spec_gen(m, K=11), draft, target,
                                       jax.random.fold_in(key, 3),
-                                      n_prompts=max(N_PROMPTS - 1, 1))
+                                      n_prompts=max(N_PROMPTS // 3, 2))
             print(f"[{time.time() - _T0:.0f}s] {m} K=11 done "
                   f"{results[f'{m}_k11']}", flush=True)
-            k11_ran = True
             if time.time() - _T0 > BUDGET_S + 600:
                 break
 
@@ -175,21 +189,25 @@ def main():
     jax.block_until_ready(toks)
     ar_tps = (int(length) - 64) / (time.perf_counter() - t0)
 
-    be_hsd, tps_hsd = results["hsd"]
-    be_tok, tps_tok = results["tokenwise"]
+    be_hsd, tps_hsd, ci_hsd = results["hsd"]
+    be_tok, tps_tok, ci_tok = results["tokenwise"]
     ctx = {
         "tokenwise_be": round(be_tok, 3),
+        "tokenwise_be_ci95": round(ci_tok, 3),
+        "be_ci": round(ci_hsd, 3),
         "ar_tok_s": round(ar_tps, 1),
         "tokenwise_tok_s": round(tps_tok, 1),
         "hsd_tok_s": round(tps_hsd, 1),
         "speedup_hsd_vs_ar": round(tps_hsd / ar_tps, 2),
         "speedup_hsd_vs_tokenwise": round(tps_hsd / tps_tok, 3),
-        "lam": round(lam, 4),
+        "scale": round(scale, 3),
+        "n_prompts": N_PROMPTS,
         "build_s": round(build_s, 1),
         "setup": f"0.5B-geometry int8 draft + 14B-geometry int4 coupled "
-                 f"target (lam={lam:.3f} auto-calibrated, "
-                 f"scale={LOGIT_SCALE}), gamma={GAMMA}, "
-                 f"max_new={MAX_NEW}, layers={CFG_B.num_layers}",
+                 f"target (scale={scale:.3f} calibrated to tokenwise "
+                 f"BE~5.99, lam=0: pure int8-GPTQ divergence), "
+                 f"gamma={GAMMA}, max_new={MAX_NEW}, "
+                 f"layers={CFG_B.num_layers}",
     }
     for m in ("hsd", "tokenwise"):
         if f"{m}_k11" in results:

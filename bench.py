@@ -107,7 +107,10 @@ def calibrate_scale(gen_tok, key, target_be=6.0, probes=4):
         # frees on return before the next probe builds.
         draft, target = build_coupled_pair(jax.random.PRNGKey(0), CFG_S,
                                            CFG_B, lam=0.0, logit_scale=s)
-        be, _, _ = run(gen_tok, draft, target, key, n_prompts=2,
+        # 6 probe prompts: per-prompt BE std is ~0.6, and the 2-prompt probe
+        # calibrated to 6.05 while the 10-prompt measurement landed 6.43
+        # (r3 first run); the pair build dominates probe cost anyway
+        be, _, _ = run(gen_tok, draft, target, key, n_prompts=6,
                        warm=first[0])
         first[0] = False
         log.append((round(s, 3), round(be, 3)))

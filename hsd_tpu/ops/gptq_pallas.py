@@ -111,10 +111,14 @@ def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
     # slice, so block_in needs no 8-aligned group count
     sp = (s_ref[0] if stacked else s_ref[:]).astype(jnp.float32)
     sl, sh = sp[0, 0], sp[1, 0]                               # [gpb, out]
-    lf = (b & 15).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
-    hf = (b >> 4).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
-    wl = (lf * sl[:, None, :]).reshape(in_p, out_blk)        # lo*s_lo
-    wh = (hf * sh[:, None, :]).reshape(in_p, out_blk)        # hi*s_hi
+    # the -8 unsigned-storage shift folds IN-KERNEL (one i32 subtract per
+    # plane): the external rank-1 correction then fires only for asymmetric
+    # zeros — profiling showed the per-call [groups, dout] f32 zs
+    # materialization cost ~2 ms/token at 14B (multiply_reduce_fusion)
+    lf = ((b & 15) - 8).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
+    hf = ((b >> 4) - 8).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
+    wl = (lf * sl[:, None, :]).reshape(in_p, out_blk)        # (lo-8)*s_lo
+    wh = (hf * sh[:, None, :]).reshape(in_p, out_blk)        # (hi-8)*s_hi
     acc_ref[:] += (jnp.dot(xe_ref[:], wl, preferred_element_type=jnp.float32)
                    + jnp.dot(xm_ref[:], wh,
                              preferred_element_type=jnp.float32))
@@ -346,22 +350,18 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
             scratch_shapes=scratch, **common,
         )(*args)
 
-    if qw.zeros is not None or packed:
+    if qw.zeros is not None:
         # rank-1 zero-point correction outside the kernel:
         # y[n,o] -= sum_g (sum_{i in g} x[n,i]) * zero[g,o]*scale[g,o]
-        # packed int4 stores unsigned nibbles (code+8), so the uniform -8
-        # shift rides in this correction even for symmetric weights
+        # (packed int4's uniform -8 unsigned-storage shift is folded in the
+        # kernel, so SYMMETRIC packed weights skip this entirely)
         zeros, scales = qw.zeros, qw.scales
         if stacked:
             scales = jax.lax.dynamic_index_in_dim(scales, layer_index, 0,
                                                   keepdims=False)
-            if zeros is not None:
-                zeros = jax.lax.dynamic_index_in_dim(zeros, layer_index, 0,
-                                                     keepdims=False)
-        z = (zeros.astype(jnp.float32) if zeros is not None
-             else jnp.float32(0.0))
-        if packed:
-            z = z + 8.0
+            zeros = jax.lax.dynamic_index_in_dim(zeros, layer_index, 0,
+                                                 keepdims=False)
+        z = zeros.astype(jnp.float32)
         zs = z * scales.astype(jnp.float32)
         xg = jnp.sum(x2.astype(jnp.float32).reshape(npad, groups, gs), axis=2)
         out = out - (xg @ zs).astype(out.dtype)

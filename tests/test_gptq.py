@@ -18,7 +18,8 @@ def _mk(key, din=256, dout=384, bits=8, group_size=128, symmetric=False):
     return w, qw, x
 
 
-@pytest.mark.parametrize("bits,symmetric", [(8, False), (8, True), (4, False)])
+@pytest.mark.parametrize("bits,symmetric",
+                         [(8, False), (8, True), (4, False), (4, True)])
 def test_quantize_roundtrip(bits, symmetric):
     w, qw, _ = _mk(jax.random.PRNGKey(0), bits=bits, symmetric=symmetric)
     wd = dequantize(qw, jnp.float32)
@@ -118,7 +119,8 @@ def test_int4_apply_linear_dispatch():
                                rtol=2e-3, atol=2e-3)
 
 
-@pytest.mark.parametrize("bits,symmetric", [(8, False), (8, True), (4, False)])
+@pytest.mark.parametrize("bits,symmetric",
+                         [(8, False), (8, True), (4, False), (4, True)])
 def test_stacked_layer_index_kernel_interpret(bits, symmetric):
     """Layer-stacked weights + scalar-prefetch layer select: for every layer
     index, gptq_matmul(x, stacked, layer_index=l) must equal the 2D kernel on

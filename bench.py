@@ -164,8 +164,11 @@ def main():
     build_s = time.perf_counter() - t_build
 
     results = {}
+    # calibration leaves gen_tok compiled; the BENCH_SCALE skip path must
+    # warm it itself or the first prompt eats the ~5min compile
     results["tokenwise"] = run(gen_tok, draft, target,
-                               jax.random.fold_in(key, 2), warm=False)
+                               jax.random.fold_in(key, 2),
+                               warm="BENCH_SCALE" in os.environ)
     print(f"[{time.time() - _T0:.0f}s] tokenwise done "
           f"{results['tokenwise']}", flush=True)
     results["hsd"] = run(spec_gen("hsd"), draft, target,

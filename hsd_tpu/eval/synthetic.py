@@ -269,12 +269,19 @@ def build_coupled_eagle_pair(key: jax.Array, cfg_big: ModelConfig, ecfg,
 
 
 def quantize_draft(cfg: ModelConfig, params: ModelParams,
-                   bits: int = 8) -> ModelParams:
+                   bits: int = 8, quantize_head: bool = False) -> ModelParams:
     """GPTQ-style quantization of a (fused-layout) small model's matmul
     weights on device — the draft is the int8 image of the target's small
     trunk, so draft/target divergence is pure quantization error (the
     reference's own operating regime: both its models are GPTQ images of the
-    same pretraining run's family)."""
+    same pretraining run's family).
+
+    quantize_head=True additionally quantizes the embedding (per-row int8)
+    and unties an int8 lm_head. MEASURED NEGATIVE at 0.5B geometry: the
+    draft step went 1.74 -> 1.92 ms/token — V=151936 = 2^7 * 1187 (prime)
+    forces the int8 kernel to 128-wide out-tiles (1187 grid steps), losing
+    more than the halved bytes save. Default stays bf16-tied; the knob
+    remains for vocab sizes with friendlier factorizations."""
     L = dict(params.layers)
     for name in ("wqkv", "wo", "wgu", "wdown", "wq", "wk", "wv",
                  "wgate", "wup"):
@@ -282,7 +289,17 @@ def quantize_draft(cfg: ModelConfig, params: ModelParams,
             gs = _gs(L[name].shape[-2])
             L[name] = jax.vmap(
                 lambda w: quantize(w, bits=bits, group_size=gs))(L[name])
-    return params._replace(layers=L)
+    out = params._replace(layers=L)
+    if quantize_head and not isinstance(params.embed, QuantizedEmbedding):
+        from ..models.transformer import quantize_embedding
+        head_dense = (params.embed.T if params.lm_head is None
+                      else params.lm_head)
+        D = head_dense.shape[0]
+        out = out._replace(
+            embed=quantize_embedding(params.embed),
+            lm_head=quantize(head_dense.astype(jnp.float32), bits=8,
+                             group_size=_gs(D)))
+    return out
 
 
 def build_coupled_pair(key: jax.Array, cfg_small: ModelConfig,

@@ -111,14 +111,10 @@ def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
     # slice, so block_in needs no 8-aligned group count
     sp = (s_ref[0] if stacked else s_ref[:]).astype(jnp.float32)
     sl, sh = sp[0, 0], sp[1, 0]                               # [gpb, out]
-    # the -8 unsigned-storage shift folds IN-KERNEL (one i32 subtract per
-    # plane): the external rank-1 correction then fires only for asymmetric
-    # zeros — profiling showed the per-call [groups, dout] f32 zs
-    # materialization cost ~2 ms/token at 14B (multiply_reduce_fusion)
-    lf = ((b & 15) - 8).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
-    hf = ((b >> 4) - 8).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
-    wl = (lf * sl[:, None, :]).reshape(in_p, out_blk)        # (lo-8)*s_lo
-    wh = (hf * sh[:, None, :]).reshape(in_p, out_blk)        # (hi-8)*s_hi
+    lf = (b & 15).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
+    hf = (b >> 4).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
+    wl = (lf * sl[:, None, :]).reshape(in_p, out_blk)        # lo*s_lo
+    wh = (hf * sh[:, None, :]).reshape(in_p, out_blk)        # hi*s_hi
     acc_ref[:] += (jnp.dot(xe_ref[:], wl, preferred_element_type=jnp.float32)
                    + jnp.dot(xm_ref[:], wh,
                              preferred_element_type=jnp.float32))
@@ -350,21 +346,33 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
             scratch_shapes=scratch, **common,
         )(*args)
 
-    if qw.zeros is not None:
+    if qw.zeros is not None or packed:
         # rank-1 zero-point correction outside the kernel:
         # y[n,o] -= sum_g (sum_{i in g} x[n,i]) * zero[g,o]*scale[g,o]
-        # (packed int4's uniform -8 unsigned-storage shift is folded in the
-        # kernel, so SYMMETRIC packed weights skip this entirely)
+        # packed int4 stores unsigned nibbles (code+8), so the uniform -8
+        # shift rides in this correction even for symmetric weights.
+        # (An in-kernel (nibble - 8) fold was tried and produced device
+        # faults in composed K=11 programs despite passing every isolated
+        # shape — reverted; the cost fix below keeps the win instead.)
         zeros, scales = qw.zeros, qw.scales
         if stacked:
             scales = jax.lax.dynamic_index_in_dim(scales, layer_index, 0,
                                                   keepdims=False)
-            zeros = jax.lax.dynamic_index_in_dim(zeros, layer_index, 0,
-                                                 keepdims=False)
-        z = zeros.astype(jnp.float32)
-        zs = z * scales.astype(jnp.float32)
+            if zeros is not None:
+                zeros = jax.lax.dynamic_index_in_dim(zeros, layer_index, 0,
+                                                     keepdims=False)
         xg = jnp.sum(x2.astype(jnp.float32).reshape(npad, groups, gs), axis=2)
-        out = out - (xg @ zs).astype(out.dtype)
+        if zeros is None:
+            # symmetric packed: the correction is a pure uniform -8 shift.
+            # Keep the scalar OUTSIDE the dot so the bf16->f32 convert fuses
+            # into the dot reads — the former `8.0 * scales` pre-multiply
+            # materialized a [groups, dout] f32 copy per call, profiled at
+            # ~2 ms/token on the 48-layer decode (multiply_reduce_fusion)
+            corr = (xg @ scales.astype(jnp.float32)) * 8.0
+        else:
+            z = zeros.astype(jnp.float32) + (8.0 if packed else 0.0)
+            corr = xg @ (z * scales.astype(jnp.float32))
+        out = out - corr.astype(out.dtype)
     return out[:n].reshape(*lead, dout)
 
 

@@ -197,6 +197,12 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
     rows, dout = qw.qweight.shape[-2:]         # packed: rows = din/2
     din = 2 * rows if packed else rows
     groups = qw.scales.shape[-2]
+    if packed and groups % 2:
+        raise ValueError(
+            f"packed int4 needs an even group count (split-half nibble "
+            f"planes must span whole scale groups); got {groups} groups for "
+            f"din={din}. Route this shape through the XLA path "
+            f"(pallas_supported gates it for apply_linear).")
     gs = din // groups                         # original group size
     # packed rows per scale-plane group: with split-half pairing each
     # nibble plane spans whole groups of gs BYTE rows (see pack_int4)

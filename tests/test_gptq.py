@@ -163,3 +163,22 @@ def test_apply_linear_layer_dispatch():
         got = apply_linear(wd, x, layer=jnp.int32(l))
         np.testing.assert_allclose(np.asarray(got), np.asarray(x @ wd[l]),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_int4_odd_group_count_gated():
+    """Split-half packing needs an even group count; odd-G shapes (e.g. the
+    0.5B din=896 at gs=128 -> 7 groups) must be gated OFF the Pallas path
+    (apply_linear then uses XLA) and gptq_matmul must raise a clear error
+    rather than a cryptic block assert."""
+    from hsd_tpu.ops.gptq_pallas import gptq_matmul, pallas_supported
+    w, qw, x = _mk(jax.random.PRNGKey(3), din=896, dout=1152, bits=4,
+                   symmetric=True)
+    assert qw.packed_int4
+    assert not pallas_supported(x, qw)
+    with pytest.raises(ValueError, match="even group count"):
+        gptq_matmul(x, qw, interpret=True)
+    # the dispatcher still computes it (XLA path)
+    got = apply_linear(qw, x)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(x @ dequantize(qw), np.float32),
+                               rtol=2e-2, atol=2e-2)

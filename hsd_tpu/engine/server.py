@@ -43,6 +43,10 @@ class SlotState(NamedTuple):
     tokens: jax.Array    # [SLOTS, S] committed tokens
     length: jax.Array    # [SLOTS]
     prompt_end: jax.Array  # [SLOTS] prompt region end (P bucket)
+    max_new: jax.Array   # [SLOTS] per-REQUEST token budget (<= engine's):
+    #                      the slot stops and frees EARLY when its own
+    #                      request's budget is met — heterogeneous budgets
+    #                      are where continuous batching beats lockstep
     active: jax.Array    # [SLOTS] bool
     done: jax.Array      # [SLOTS] bool (finished, awaiting harvest)
     acc_sum: jax.Array   # [SLOTS] int32 accepted drafted tokens (telemetry)
@@ -133,7 +137,8 @@ class SlotEngine:
         self._t_init = t_init
 
         def pool_step(params_d, params_t, tokens, length, prompt_end,
-                      active, acc_sum, blk_cnt, dcache, tcache, keys):
+                      slot_max_new, active, acc_sum, blk_cnt, dcache,
+                      tcache, keys):
             """One speculative block for every slot: vmapped draft scan ->
             ONE slot-batched target forward -> vmapped verify/commit.
 
@@ -162,7 +167,7 @@ class SlotEngine:
             p = temp(tlogits)                           # [SLOTS, R, g+1, V]
 
             def verify_slot(kv_k, dt, q_s, p_s, tokens_s, length_s,
-                            prompt_end_s, acc_s, blk_s, dc, tc):
+                            prompt_end_s, max_new_s, acc_s, blk_s, dc, tc):
                 res = verify(method, kv_k, dt, q_s, p_s, num_drafts=K,
                              striped=striped)
                 n_commit = res.n_matches + 1
@@ -178,14 +183,14 @@ class SlotEngine:
                     dc = select_draft_row(dc, res.draft_index)
                     tc = t_select(tc, res.draft_index)
                 hit_eos = jnp.any(write & (tokens2 == eos))
-                budget = new_length - prompt_end_s >= max_new
+                budget = new_length - prompt_end_s >= max_new_s
                 return (tokens2, new_length, hit_eos | budget,
                         acc_s + res.n_matches, blk_s + 1, dc, tc)
 
             (tokens2, length2, done2, acc2, blk2, dcache3, tcache3) = \
                 jax.vmap(verify_slot)(kv, draft_toks, q, p, tokens, length,
-                                      prompt_end, acc_sum, blk_cnt, dcache2,
-                                      tcache2)
+                                      prompt_end, slot_max_new, acc_sum,
+                                      blk_cnt, dcache2, tcache2)
 
             # masked fold: inactive slots keep their state untouched
             def keep(new, old):
@@ -202,7 +207,7 @@ class SlotEngine:
 
         # donate the big per-slot buffers: the step updates state in place
         # instead of allocating a second copy of every cache each step
-        self._step = jax.jit(pool_step, donate_argnums=(2, 3, 6, 7, 8, 9))
+        self._step = jax.jit(pool_step, donate_argnums=(2, 3, 7, 8, 9, 10))
 
         def prefill(params_d, params_t, prompt, prompt_len):
             start = jnp.broadcast_to(self.bucket - prompt_len,
@@ -224,39 +229,40 @@ class SlotEngine:
 
         A = self.admit_batch
 
-        def scatter(state: SlotState, slots, tokens_new, dc_new, tc_new):
+        def scatter(state: SlotState, slots, max_new_a, tokens_new, dc_new,
+                    tc_new):
             """Admit up to A staged requests in ONE donated program.
 
-            slots [A] int32 target slot ids (>= n_slots rows are padding and
-            dropped); tokens_new [A, S]; dc_new/tc_new carry a leading A
-            axis. The donated state buffers are updated in place — no
-            per-slot full-cache copy."""
-            ok = slots < self.n_slots
-            sl = jnp.clip(slots, 0, self.n_slots - 1)
+            slots [A] int32 target slot ids; rows >= n_slots are padding and
+            rely on JAX's scatter semantics (out-of-bounds updates are
+            DROPPED) — do NOT clip them into range: the former
+            clip-plus-where form aliased padding rows onto slot n_slots-1,
+            and when a REAL admission targeted that last slot the
+            duplicate-index scatter could apply the stale padding value
+            last, silently undoing the admission and DEADLOCKING the slot
+            (occupied in slot_rid, never active, never done — run_all then
+            spun to its step cap; found via the serving bench's 1.1 tok/s).
+            tokens_new [A, S]; dc_new/tc_new carry a leading A axis. The
+            donated state buffers are updated in place — no per-slot
+            full-cache copy."""
+            A_ = slots.shape[0]
 
             def put(buf, new):
-                return jax.tree.map(
-                    lambda b, n: b.at[sl].set(
-                        jnp.where(
-                            jnp.reshape(ok, (A,) + (1,) * (n.ndim - 1)),
-                            n, b[sl])), buf, new)
+                return jax.tree.map(lambda b, n: b.at[slots].set(n),
+                                    buf, new)
 
-            bucket_i = jnp.int32(self.bucket)
+            bucket_i = jnp.full((A_,), self.bucket, jnp.int32)
             return state._replace(
-                tokens=state.tokens.at[sl].set(
-                    jnp.where(ok[:, None], tokens_new, state.tokens[sl])),
-                length=state.length.at[sl].set(
-                    jnp.where(ok, bucket_i, state.length[sl])),
-                prompt_end=state.prompt_end.at[sl].set(
-                    jnp.where(ok, bucket_i, state.prompt_end[sl])),
-                active=state.active.at[sl].set(
-                    jnp.where(ok, True, state.active[sl])),
-                done=state.done.at[sl].set(
-                    jnp.where(ok, False, state.done[sl])),
-                acc_sum=state.acc_sum.at[sl].set(
-                    jnp.where(ok, 0, state.acc_sum[sl])),
-                blk_cnt=state.blk_cnt.at[sl].set(
-                    jnp.where(ok, 0, state.blk_cnt[sl])),
+                tokens=state.tokens.at[slots].set(tokens_new),
+                length=state.length.at[slots].set(bucket_i),
+                prompt_end=state.prompt_end.at[slots].set(bucket_i),
+                max_new=state.max_new.at[slots].set(max_new_a),
+                active=state.active.at[slots].set(jnp.ones((A_,), bool)),
+                done=state.done.at[slots].set(jnp.zeros((A_,), bool)),
+                acc_sum=state.acc_sum.at[slots].set(
+                    jnp.zeros((A_,), jnp.int32)),
+                blk_cnt=state.blk_cnt.at[slots].set(
+                    jnp.zeros((A_,), jnp.int32)),
                 dcache=put(state.dcache, dc_new),
                 tcache=put(state.tcache, tc_new))
 
@@ -275,6 +281,8 @@ class SlotEngine:
             tokens=jnp.zeros((self.n_slots, S), jnp.int32),
             length=jnp.full((self.n_slots,), 2, jnp.int32),
             prompt_end=jnp.full((self.n_slots,), self.bucket, jnp.int32),
+            max_new=jnp.full((self.n_slots,),
+                             self.engine.max_new_tokens, jnp.int32),
             active=jnp.zeros((self.n_slots,), bool),
             done=jnp.zeros((self.n_slots,), bool),
             acc_sum=jnp.zeros((self.n_slots,), jnp.int32),
@@ -306,13 +314,17 @@ class SlotEngine:
             A = self.admit_batch
             slots = np.full((A,), self.n_slots, np.int32)  # pad -> dropped
             slots[:len(batch)] = [b[0] for b in batch]
+            mn = np.full((A,), self.engine.max_new_tokens, np.int32)
+            mn[:len(batch)] = [min(b[1].max_new, self.engine.max_new_tokens)
+                               for b in batch]
             stk = lambda xs: jax.tree.map(
                 lambda *a: jnp.stack(list(a) + [a[-1]] * (A - len(a))), *xs)
             tokens_new = stk([b[2] for b in batch])
             dc_new = stk([b[3] for b in batch])
             tc_new = stk([b[4] for b in batch])
             self.state = self._scatter(self.state, jnp.asarray(slots),
-                                       tokens_new, dc_new, tc_new)
+                                       jnp.asarray(mn), tokens_new, dc_new,
+                                       tc_new)
 
     def _harvest(self) -> List[Request]:
         finished = []
@@ -354,8 +366,8 @@ class SlotEngine:
         t0 = time.perf_counter()
         (tokens, length, done, acc_sum, blk_cnt, dcache, tcache) = self._step(
             self.params_d, self.params_t, st.tokens, st.length,
-            st.prompt_end, st.active, st.acc_sum, st.blk_cnt, st.dcache,
-            st.tcache, keys)
+            st.prompt_end, st.max_new, st.active, st.acc_sum, st.blk_cnt,
+            st.dcache, st.tcache, keys)
         self.state = st._replace(tokens=tokens, length=length,
                                  done=st.done | done, acc_sum=acc_sum,
                                  blk_cnt=blk_cnt, dcache=dcache,

@@ -39,11 +39,19 @@ LAYERS = int(os.environ.get("SRV_LAYERS", 8))
 CFG = ModelConfig.qwen2_05b(num_layers=LAYERS, vocab_size=32000)
 
 
+HET = bool(int(os.environ.get("SRV_HET", "1")))
+
+
 def prompts(rng):
+    # (prompt, max_new) pairs. SRV_HET=1 (default) draws HETEROGENEOUS
+    # budgets in [MAX_NEW/4, MAX_NEW] -- the regime continuous batching
+    # exists for (short requests free slots early; lockstep waves idle
+    # until the longest request of each wave drains).
     out = []
     for i in range(REQS):
         n = int(rng.integers(BUCKET // 2, BUCKET))
-        out.append(rng.integers(1, 31000, (n,)).tolist())
+        mn = int(rng.integers(MAX_NEW // 4, MAX_NEW + 1)) if HET else MAX_NEW
+        out.append((rng.integers(1, 31000, (n,)).tolist(), mn))
     return out
 
 
@@ -59,10 +67,14 @@ def main():
     # --- slot engine: continuous admission --------------------------------
     eng = SlotEngine(CFG, CFG, eng_cfg, n_slots=SLOTS, bucket=BUCKET,
                      params_d=pd, params_t=pt)
-    for rid, p in enumerate(ps):
-        eng.submit(rid, p)
-    # warm compile: one step (includes prefill + scatter + step programs)
+    # warm ALL paths incl. the first-harvest host update (one throwaway
+    # request run to completion): the old single-step warm left a ~1.5s
+    # first-harvest cost inside the timed region, flipping the comparison
+    eng.submit(10_000, ps[0][0], max_new=8)
     eng.step()
+    eng.run_all()
+    for rid, (p, mn) in enumerate(ps):
+        eng.submit(rid, p, max_new=mn)
     t0 = time.perf_counter()
     done = eng.run_all()
     slot_time = time.perf_counter() - t0
@@ -78,13 +90,13 @@ def main():
                       params_d=pd, params_t=pt)
     lock_toks = 0
     # warm with one wave step
-    eng2.submit(10_000, ps[0])
+    eng2.submit(10_000, ps[0][0], max_new=ps[0][1])
     eng2.step()
     eng2.run_all()
     t0 = time.perf_counter()
     for wave in range(0, len(ps), SLOTS):
-        for rid, p in enumerate(ps[wave:wave + SLOTS]):
-            eng2.submit(wave + rid, p)
+        for rid, (p, mn) in enumerate(ps[wave:wave + SLOTS]):
+            eng2.submit(wave + rid, p, max_new=mn)
         done2 = eng2.run_all()
         lock_toks += sum(len(r.out_tokens) for r in done2)
     lock_time = time.perf_counter() - t0

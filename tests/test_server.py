@@ -164,3 +164,51 @@ def test_server_pp_token_parity():
         pp_out = _mesh_engine_outputs(
             make_pp_server_forward(cfg_t, pt, pp), cfg_t, ppt)
     assert base == pp_out, (base, pp_out)
+
+
+def test_last_slot_admission_with_padding():
+    """Regression (r3): a single admission into the LAST slot rides a
+    scatter whose padding rows carry slot id n_slots; the former clip-based
+    padding aliased those rows onto n_slots-1 and could overwrite the real
+    admission with stale values — the slot then sat occupied-but-inactive
+    forever and run_all spun to its step cap. Drive requests so an admission
+    lands alone in the last slot mid-flight and assert EVERY request
+    completes within a bounded step count."""
+    eng = _engine(n_slots=4, max_new=8)
+    rng = __import__("numpy").random.default_rng(0)
+    for rid in range(9):
+        n = int(rng.integers(6, 14))
+        eng.submit(rid, (rng.integers(1, 60, (n,))).tolist())
+    done = []
+    for i in range(200):
+        done.extend(eng.step())
+        if not eng.queue and not eng.running:
+            break
+    assert sorted(r.rid for r in done) == list(range(9)), \
+        (sorted(r.rid for r in done), eng.slot_rid,
+         __import__("numpy").asarray(eng.state.active))
+    assert i < 199, "run did not converge (slot deadlock)"
+
+
+def test_per_request_budget_frees_slot_early():
+    """Per-request max_new is enforced ON DEVICE (SlotState.max_new): a
+    short-budget request finishes in ~1 block and its slot frees while
+    longer requests keep running — the heterogeneous-budget case where
+    continuous batching beats lockstep (previously the budget only cropped
+    at harvest and the slot burned blocks to the global budget)."""
+    eng = _engine(n_slots=2, max_new=12)
+    eng.submit(0, list(range(1, 9)), max_new=2)   # tiny budget
+    eng.submit(1, list(range(2, 10)))             # full budget (12)
+    eng.submit(2, list(range(3, 11)))             # queued; needs a free slot
+    done = {}
+    for i in range(60):
+        for r in eng.step():
+            done[r.rid] = (i, r)
+        if not eng.queue and not eng.running:
+            break
+    assert sorted(done) == [0, 1, 2]
+    step0, r0 = done[0]
+    step1, r1 = done[1]
+    assert len(r0.out_tokens) <= 2
+    assert r0.blocks <= 2, r0.blocks          # stopped at ITS budget
+    assert step0 < step1                      # freed before the long one

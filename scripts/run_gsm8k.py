@@ -152,6 +152,9 @@ def main():
         out_dir=args.out_dir, tag=args.tag)
     summary = run_eval(cfg_d, cfg_t, params_d, params_t, tok, qs, shots, ev,
                        target_forward=target_forward)
+    # raw model answers live in the answers artifact; keep the console
+    # summary readable
+    summary.pop("model_answers", None)
     print(json.dumps(summary, indent=2, default=str))
 
 

@@ -134,6 +134,50 @@ def calibrate_scale(gen_tok, key, target_be=6.0, probes=4):
     return 0.5 * (lo + hi), log
 
 
+def _serving_row(params_d, params_t, n_slots=4, reqs=12, srv_max_new=48):
+    """Continuous-vs-lockstep serving comparison on the 0.5B pair
+    (heterogeneous budgets — the regime continuous batching exists for).
+    Returns {cont_tok_s, lock_tok_s, ratio, be}."""
+    import numpy as _np
+
+    from hsd_tpu.engine.server import SlotEngine
+
+    eng_cfg = EngineConfig(
+        verifier=VerifierConfig(method="hsd", gamma=5),
+        max_new_tokens=srv_max_new, temperature=1.0)
+    rng = _np.random.default_rng(0)
+    ps = [(rng.integers(1, CFG_S.vocab_size - 2,
+                        (int(rng.integers(32, 64)),)).tolist(),
+           int(rng.integers(srv_max_new // 4, srv_max_new + 1)))
+          for _ in range(reqs)]
+
+    def build():
+        e = SlotEngine(CFG_S, CFG_S, eng_cfg, n_slots=n_slots, bucket=64,
+                       params_d=params_d, params_t=params_t)
+        e.submit(10_000, ps[0][0], max_new=8)   # warm ALL paths
+        e.step()
+        e.run_all()
+        return e
+
+    eng = build()
+    for rid, (p, mn) in enumerate(ps):
+        eng.submit(rid, p, max_new=mn)
+    t0 = time.perf_counter()
+    done = eng.run_all()
+    cont = sum(len(r.out_tokens) for r in done) / (time.perf_counter() - t0)
+    be = eng.stats()["block_efficiency"]
+
+    eng2 = build()
+    lock_toks, t0 = 0, time.perf_counter()
+    for w in range(0, reqs, n_slots):
+        for rid, (p, mn) in enumerate(ps[w:w + n_slots]):
+            eng2.submit(w + rid, p, max_new=mn)
+        lock_toks += sum(len(r.out_tokens) for r in eng2.run_all())
+    lock = lock_toks / (time.perf_counter() - t0)
+    return {"cont_tok_s": round(cont, 1), "lock_tok_s": round(lock, 1),
+            "ratio": round(cont / lock, 3), "be": round(be, 3)}
+
+
 def main():
     key = jax.random.PRNGKey(0)
 
@@ -184,6 +228,19 @@ def main():
             if time.time() - _T0 > BUDGET_S + 600:
                 break
 
+    # serving row (driver-tracked): continuous SlotEngine vs lockstep waves
+    # on a 0.5B pair REUSING the already-built weights (draft int8 + small
+    # bf16 trunk); guarded — a serving failure must not cost the headline
+    serving = None
+    if time.time() - _T0 < BUDGET_S and bool(int(
+            os.environ.get("BENCH_SERVING", "1"))):
+        try:
+            serving = _serving_row(draft, target.small)
+            print(f"[{time.time() - _T0:.0f}s] serving {serving}", flush=True)
+        except Exception as e:                        # noqa: BLE001
+            print(f"serving row skipped: {type(e).__name__}: {e}",
+                  flush=True)
+
     # AR baseline of the SAME coupled target (one full 14B forward per token)
     ar = make_autoregressive(
         CFG_B, EngineConfig(max_new_tokens=AR_NEW, temperature=1.0),
@@ -219,6 +276,8 @@ def main():
         if f"{m}_k11" in results:
             ctx[f"{m}_k11"] = {"be": round(results[f"{m}_k11"][0], 3),
                                "tok_s": round(results[f"{m}_k11"][1], 1)}
+    if serving is not None:
+        ctx["serving_0p5b"] = serving
     print(json.dumps({
         "metric": "block_efficiency_hsd",
         "value": round(be_hsd, 3),

@@ -253,7 +253,12 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
         # bytes per (in_p, bo) cell against a 48MB working budget
         # (vmem_limit below is 96MB for packed; v5e has 128MiB physical) —
         # measured: the 24MB budget forced wdown [6912, 5120] to bo=128 and
-        # 238 GB/s; bo=256+ restores the pipeline
+        # 238 GB/s; bo=256+ restores the pipeline.
+        # bo need NOT divide dout: the grid's final out-block is RAGGED
+        # (Mosaic pads edge blocks; garbage lands only in columns >= dout,
+        # which are never written back) — without this, prime-factor vocabs
+        # (Qwen 151936 = 128 * 1187) forced bo=128 and 1187 grid steps on
+        # the [D, V] head
         cap = 48 * 1024 * 1024
         denom = 14 * block_in + 16 * npad
         limit = max(128, cap // denom)
@@ -262,9 +267,15 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
             for d in range(128, dout // 128 * 128 + 1, 128):
                 if dout % d == 0 and d <= limit:
                     best = d
+            # prefer a WIDE ragged block over a narrow divisor: DMA chunk
+            # width and grid-step count dominated the measured rate
+            if best < min(512, limit // 128 * 128):
+                best = limit // 128 * 128
             block_out = best
     n_in_blocks = rows // block_in
-    grid = (dout // block_out, n_in_blocks)
+    import math as _math
+    grid = (_math.ceil(dout / block_out) if packed else dout // block_out,
+            n_in_blocks)
 
     # index maps: under scalar prefetch every map takes the scalar ref as a
     # trailing argument (after the grid indices) and the weight/scale maps

@@ -182,3 +182,26 @@ def test_int4_odd_group_count_gated():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(x @ dequantize(qw), np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_int4_ragged_out_blocks():
+    """Prime-factor douts (e.g. 1664 = 128 * 13, and Qwen's 151936 =
+    128 * 1187) have no wide divisor out-block; the packed path now prefers
+    a WIDE RAGGED final block over 128-wide tiles (r3: the narrow tiles ran
+    1187 grid steps on the [D, V] head). Parity vs dequant across the ragged
+    edge."""
+    from hsd_tpu.ops.gptq_pallas import gptq_matmul, pallas_supported
+    w, qw, x = _mk(jax.random.PRNGKey(11), din=512, dout=1664, bits=4,
+                   symmetric=True)
+    assert pallas_supported(x, qw)
+    got = gptq_matmul(x, qw, interpret=True)
+    want = x @ dequantize(qw, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+    # asymmetric too (external zero correction composes with ragged blocks)
+    w2, qw2, x2 = _mk(jax.random.PRNGKey(12), din=512, dout=1664, bits=4,
+                      symmetric=False)
+    got2 = gptq_matmul(x2, qw2, interpret=True)
+    want2 = x2 @ dequantize(qw2, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=3e-4, atol=3e-4)

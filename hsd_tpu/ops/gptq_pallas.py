@@ -124,21 +124,33 @@ def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _pick_block_out(dout: int, block_in: int, vmem_cap: int) -> int:
-    """Largest legal out-block under the VMEM budget.
+def _out_block_limit(packed: bool, block_in: int, npad: int,
+                     vmem_cap: int) -> int:
+    """Widest out-block (bytes-per-column model) under the VMEM working-set
+    budget. Bigger blocks win decisively in the batch-1 decode regime: each
+    pallas_call grid step carries a fixed ~9us launch/pipeline floor on v5e,
+    so a 0.5B-scale matvec wants ONE out-block (measured 9.5us vs 59us at
+    896x1152, docs/BENCHMARKS.md).
 
-    Legal = divides dout AND (multiple of 128 or the whole dout — Mosaic's
-    lane rule). Bigger blocks win decisively in the batch-1 decode regime:
-    each pallas_call grid step carries a fixed ~9us launch/pipeline floor on
-    v5e, so a 0.5B-scale matvec wants ONE out-block (measured 9.5us vs 59us
-    at 896x1152, docs/BENCHMARKS.md)."""
-    if block_in * dout <= vmem_cap:
-        return dout
-    best = 0
-    for d in range(128, dout // 128 * 128 + 1, 128):
-        if dout % d == 0 and block_in * d <= vmem_cap:
-            best = d
-    return best or 128
+    int8: double-buffered int8 weight tile (2*bi) + f32 out/acc (16*npad)
+    against a 24MB budget net of the double-buffered f32 x tile — at prefill
+    row counts the x tile matters (observed: 5120x27648 npad=32 -> 16.36M >
+    16M scoped; npad=1024 -> 148M > 128M physical). Also respect the
+    caller's per-tile cap (vmem_cap_mb) on the weight tile itself.
+
+    packed int4: double-buffered u8 tile (2*bi_p) + two f32 dequant planes
+    (8*bi_p) + nibble temps -> ~14 bytes per (in_p, out) cell against a 48MB
+    working budget (vmem_limit below is 96MB for packed; v5e has 128MiB
+    physical) — measured: a 24MB budget forced wdown [6912, 5120] to bo=128
+    and 238 GB/s; bo=256+ restores the pipeline."""
+    if packed:
+        cap = 48 * 1024 * 1024
+        limit = cap // (14 * block_in + 16 * npad)
+    else:
+        cap = 24 * 1024 * 1024
+        limit = (cap - 4 * npad * block_in) // (2 * block_in + 16 * npad)
+        limit = min(limit, vmem_cap // block_in)
+    return max(128, limit // 128 * 128)
 
 
 def _pick_block_in_packed(rows: int, gs_p: int, target: int = 3584) -> int:
@@ -218,64 +230,25 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
         block_in = (_pick_block_in_packed(rows, gs_k) if packed
                     else _pick_block_in(rows, gs_k))
     block_in = min(block_in, rows)
+    # bo need NOT divide dout on EITHER path: the grid's final out-block is
+    # RAGGED (Mosaic pads edge blocks; garbage lands only in columns >= dout,
+    # which are never written back). A wide ragged block always beats narrow
+    # divisor tiles — DMA chunk width and grid-step count dominated the
+    # measured rate; prime-factor vocabs (Qwen 151936 = 128 * 1187) would
+    # otherwise force bo=128 and 1187 grid steps on the [D, V] head.
+    limit = _out_block_limit(packed, block_in, npad,
+                             vmem_cap_mb * 1024 * 1024)
     if block_out == 0:
-        block_out = _pick_block_out(dout, block_in, vmem_cap_mb * 1024 * 1024)
+        block_out = dout if dout <= limit else limit
     else:
-        while dout % block_out or (block_out % 128 and block_out != dout):
-            block_out //= 2
-        # VMEM budget: keep the double-buffered weight tile bounded
-        while (block_in * block_out > vmem_cap_mb * 1024 * 1024
-               and block_out > 128):
-            block_out //= 2
+        block_out = min(block_out, dout, max(limit, 128))
+        if block_out % 128 and block_out != dout:
+            block_out = max(128, block_out // 128 * 128)
     assert rows % block_in == 0 and block_in % gs_k == 0, (rows, block_in, gs_k)
     gpb = block_in // gs_k
-    if not packed:
-        # total-VMEM guard: the w-tile budget above ignores the activation
-        # rows; at prefill sizes (npad 32+) the double-buffered weight tile
-        # plus x/out/acc can bust the scoped budget (observed: 5120x27648,
-        # npad=32 -> 16.36M > 16M; npad=1024 -> 148M > 128M physical).
-        # Bound block_out conservatively against the 64MB scoped budget
-        # requested below (Mosaic's real footprint runs ~2x this model:
-        # double-buffered x and out on top of w/acc).
-        cap = 24 * 1024 * 1024
-        denom = 2 * block_in + 16 * npad         # dbl-buf w + out/acc
-        limit = max(128, (cap - 4 * npad * block_in) // denom)
-        if block_out > limit:
-            best = 128
-            for d in range(128, dout // 128 * 128 + 1, 128):
-                if dout % d == 0 and d <= limit:
-                    best = d
-            block_out = best
-    if packed:
-        # VMEM model for the int4 kernel: double-buffered u8 weight tile
-        # (2 * in_p * bo) + the two f32 dequantized planes (8 * in_p * bo)
-        # + f32 nibble temps (partially fused by Mosaic); bound bo by ~14
-        # bytes per (in_p, bo) cell against a 48MB working budget
-        # (vmem_limit below is 96MB for packed; v5e has 128MiB physical) —
-        # measured: the 24MB budget forced wdown [6912, 5120] to bo=128 and
-        # 238 GB/s; bo=256+ restores the pipeline.
-        # bo need NOT divide dout: the grid's final out-block is RAGGED
-        # (Mosaic pads edge blocks; garbage lands only in columns >= dout,
-        # which are never written back) — without this, prime-factor vocabs
-        # (Qwen 151936 = 128 * 1187) forced bo=128 and 1187 grid steps on
-        # the [D, V] head
-        cap = 48 * 1024 * 1024
-        denom = 14 * block_in + 16 * npad
-        limit = max(128, cap // denom)
-        if block_out > limit:
-            best = 128
-            for d in range(128, dout // 128 * 128 + 1, 128):
-                if dout % d == 0 and d <= limit:
-                    best = d
-            # prefer a WIDE ragged block over a narrow divisor: DMA chunk
-            # width and grid-step count dominated the measured rate
-            if best < min(512, limit // 128 * 128):
-                best = limit // 128 * 128
-            block_out = best
     n_in_blocks = rows // block_in
     import math as _math
-    grid = (_math.ceil(dout / block_out) if packed else dout // block_out,
-            n_in_blocks)
+    grid = (_math.ceil(dout / block_out), n_in_blocks)
 
     # index maps: under scalar prefetch every map takes the scalar ref as a
     # trailing argument (after the grid indices) and the weight/scale maps

@@ -184,24 +184,43 @@ def test_int4_odd_group_count_gated():
                                rtol=2e-2, atol=2e-2)
 
 
-def test_int4_ragged_out_blocks():
+import math
+
+
+@pytest.mark.parametrize("bits,symmetric",
+                         [(4, True), (4, False), (8, True), (8, False)])
+def test_ragged_out_blocks(bits, symmetric):
     """Prime-factor douts (e.g. 1664 = 128 * 13, and Qwen's 151936 =
-    128 * 1187) have no wide divisor out-block; the packed path now prefers
-    a WIDE RAGGED final block over 128-wide tiles (r3: the narrow tiles ran
-    1187 grid steps on the [D, V] head). Parity vs dequant across the ragged
-    edge."""
+    128 * 1187) have no wide divisor out-block; BOTH kernel paths take a
+    WIDE RAGGED final block over 128-wide tiles (r3/r4: narrow tiles ran
+    1187 grid steps on the [D, V] head). block_out=512 on dout=1664 forces a
+    genuinely ragged grid (4 steps, edge block covers 128 of 512 lanes) so
+    Mosaic's padded-edge-block behavior — the correctness assumption the
+    feature relies on — is actually exercised. Parity vs dequant across the
+    ragged edge; the external zero correction (asymmetric / packed -8 shift)
+    composes with ragged blocks."""
     from hsd_tpu.ops.gptq_pallas import gptq_matmul, pallas_supported
-    w, qw, x = _mk(jax.random.PRNGKey(11), din=512, dout=1664, bits=4,
-                   symmetric=True)
+    dout, bo = 1664, 512
+    assert math.ceil(dout / bo) > dout // bo     # genuinely ragged
+    w, qw, x = _mk(jax.random.PRNGKey(11 + bits), din=512, dout=dout,
+                   bits=bits, symmetric=symmetric)
     assert pallas_supported(x, qw)
-    got = gptq_matmul(x, qw, interpret=True)
+    got = gptq_matmul(x, qw, block_out=bo, interpret=True)
     want = x @ dequantize(qw, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-4, atol=3e-4)
-    # asymmetric too (external zero correction composes with ragged blocks)
-    w2, qw2, x2 = _mk(jax.random.PRNGKey(12), din=512, dout=1664, bits=4,
-                      symmetric=False)
-    got2 = gptq_matmul(x2, qw2, interpret=True)
-    want2 = x2 @ dequantize(qw2, jnp.float32)
-    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
-                               rtol=3e-4, atol=3e-4)
+
+
+def test_auto_block_out_prefers_wide_ragged():
+    """ADVICE r3: the wide-ragged preference must be reachable from the
+    AUTO-pick path — a dout with no wide divisor and a VMEM limit below dout
+    must yield a wide non-divisor block, not 128."""
+    from hsd_tpu.ops.gptq_pallas import _out_block_limit
+    # Qwen head at 14B geometry: packed rows=2560, V=151936
+    limit = _out_block_limit(True, 2560, 8, 8 * 1024 * 1024)
+    assert limit >= 1280 and limit % 128 == 0
+    bo = 151936 if 151936 <= limit else limit
+    assert bo > 128 and 151936 % bo != 0         # wide AND ragged
+    # int8 at 0.5B-head geometry: rows=896
+    limit8 = _out_block_limit(False, 896, 8, 8 * 1024 * 1024)
+    assert limit8 > 128 and limit8 % 128 == 0

@@ -155,7 +155,15 @@ def tokenize_conversation(tokenizer, messages: List[dict],
     ids: List[int] = []
     mask: List[int] = []
     for text, loss in _segments(template, messages):
-        seg = tokenizer.encode(text)
+        # per-segment encoding must NOT insert special tokens: HF tokenizers
+        # that auto-add BOS (Llama-3) would prepend <|begin_of_text|> to
+        # EVERY segment, corrupting input_ids and marking injected BOS
+        # tokens loss=1 inside assistant spans — the templates above already
+        # emit the specials as literal text where they belong.
+        try:
+            seg = tokenizer.encode(text, add_special_tokens=False)
+        except TypeError:          # tokenizers without the kwarg (ByteTokenizer)
+            seg = tokenizer.encode(text)
         ids.extend(seg)
         mask.extend([loss] * len(seg))
     ids_a = np.asarray(ids[:max_len], np.int32)

@@ -125,7 +125,15 @@ def _mesh_engine_outputs(target_forward, cfg_t, params_t, n_slots=2):
 
 def test_server_tp_token_parity():
     """SlotEngine + shard_map TP target == SlotEngine + plain target,
-    token for token (same PRNG seeds; fp32 so TP psums are exact)."""
+    token for token.
+
+    Reduction-order caveat (ADVICE r3): shard_map TP splits reduction dims,
+    so psum partial-sum order differs from the unsharded dot — fp32 logits
+    are close but not guaranteed bitwise-equal, and a near-tie in sampling
+    could legitimately flip a token. The pinned config/seeds here are
+    tie-free (verified: min |logit gap| at every sampled decision >> fp32
+    psum noise); if this ever flakes after a model change, re-pin seeds or
+    compare at the logits level instead of tightening the engine."""
     import dataclasses
 
     from hsd_tpu.parallel import make_mesh
@@ -142,7 +150,10 @@ def test_server_tp_token_parity():
         spt = shard_params_tp(pt, mesh)
         tp_out = _mesh_engine_outputs(
             make_tp_server_forward(cfg_t, pt), cfg_t, spt)
-    assert base == tp_out, (base, tp_out)
+    assert base == tp_out, (
+        "TP token stream diverged — before treating as an engine bug, check "
+        "whether a near-tie flipped under psum reduction order (docstring)",
+        base, tp_out)
 
 
 def test_server_pp_token_parity():

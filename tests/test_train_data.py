@@ -79,6 +79,37 @@ def test_mask_marks_exactly_assistant_spans(style):
         assert "<|eot_id|>" in trained
 
 
+class _BosAddingTokenizer(ByteTokenizer):
+    """HF-style stub that auto-prepends a BOS id unless told not to — the
+    Llama-3 tokenizer behavior that corrupted per-segment encoding (ADVICE
+    r3: injected <|begin_of_text|> per segment, some marked loss=1)."""
+
+    BOS = 255
+
+    def encode(self, s: str, add_special_tokens: bool = True):
+        base = super().encode(s)
+        return ([self.BOS] + base) if add_special_tokens else base
+
+
+def test_segmentwise_equals_whole_render_with_bos_tokenizer():
+    """tokenize_conversation must disable special-token insertion per
+    segment: the concatenated ids equal the whole-render tokenization (no
+    specials), and no injected BOS appears inside assistant loss spans."""
+    tok = _BosAddingTokenizer()
+    msgs = [{"role": "user", "content": "Say hello."},
+            {"role": "assistant", "content": "Hello there!"},
+            {"role": "user", "content": "Again."},
+            {"role": "assistant", "content": "Hello again!"}]
+    for style in ("qwen", "llama3", "plain"):
+        t = ChatTemplate(style=style)
+        ids, mask = tokenize_conversation(tok, msgs, t, max_len=4096)
+        from hsd_tpu.train.data import _segments
+        whole = tok.encode("".join(s for s, _ in _segments(t, msgs)),
+                           add_special_tokens=False)
+        np.testing.assert_array_equal(ids, np.asarray(whole, np.int32)[:4096])
+        assert tok.BOS not in ids[mask > 0]
+
+
 def test_segments_match_full_render():
     """The structural segments concatenate to template.render minus the
     trailing open assistant header — the exactness claim behind the masks."""

@@ -71,12 +71,20 @@ def eagle1_loss(ecfg: EagleConfig, params: EagleParams, hidden: jax.Array,
 
 def make_eagle1_train_step(cfg_t: ModelConfig, ecfg: EagleConfig,
                            tc: TrainConfig, v_w: float = 1.0,
-                           p_w: float = 0.1):
+                           p_w: float = 0.1, zero_mesh=None):
     """Jitted SPMD train step for the legacy head: (state, params_target,
-    input_ids, loss_mask) -> (state, metrics)."""
+    input_ids, loss_mask) -> (state, metrics). zero_mesh: ZeRO-equivalent
+    optimizer-state sharding over the mesh data axis (train/eagle3.py
+    zero_opt_shardings)."""
+    from .eagle3 import zero_opt_shardings
+
     opt = make_optimizer(tc)
 
     def step(state: TrainState, params_t, input_ids, loss_mask):
+        if zero_mesh is not None:
+            state = state._replace(opt_state=jax.lax.with_sharding_constraint(
+                state.opt_state, zero_opt_shardings(state.opt_state,
+                                                    zero_mesh)))
         B, T = input_ids.shape
         cache = init_cache(cfg_t, B, T)
         _, _, hidden = transformer.forward(cfg_t, params_t, input_ids, cache,
@@ -93,6 +101,9 @@ def make_eagle1_train_step(cfg_t: ModelConfig, ecfg: EagleConfig,
             loss_fn, has_aux=True)(trainable)
         updates, opt_state = opt.update(grads, state.opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
+        if zero_mesh is not None:
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, zero_opt_shardings(opt_state, zero_mesh))
         metrics["loss"] = loss
         return TrainState(params=_merge(trainable, frozen),
                           opt_state=opt_state, step=state.step + 1), metrics

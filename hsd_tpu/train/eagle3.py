@@ -60,11 +60,49 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     )
 
 
-def init_train_state(params: EagleParams, tc: TrainConfig) -> TrainState:
+def init_train_state(params: EagleParams, tc: TrainConfig,
+                     zero_mesh=None) -> TrainState:
+    """zero_mesh: when given, the Adam moment pytree is laid out with
+    ZeRO-equivalent shardings over the mesh `data` axis (see
+    zero_opt_shardings) instead of replicated."""
     opt = make_optimizer(tc)
     trainable, _ = _split_trainable(params)
-    return TrainState(params=params, opt_state=opt.init(trainable),
+    opt_state = opt.init(trainable)
+    if zero_mesh is not None:
+        opt_state = jax.device_put(opt_state,
+                                   zero_opt_shardings(opt_state, zero_mesh))
+    return TrainState(params=params, opt_state=opt_state,
                       step=jnp.int32(0))
+
+
+def zero_opt_shardings(opt_state, mesh, axis: str = "data"):
+    """ZeRO-equivalent optimizer-state shardings (SURVEY §2.5: the TPU-native
+    replacement for DeepSpeed ZeRO-2, ref traineagle3/main.py:213-221 +
+    train/ds_config.json "stage": 2).
+
+    For each moment/leaf, shard the LARGEST dim divisible by the data-axis
+    size over `data`; scalars and indivisible leaves replicate. With the
+    train step's output constrained to these shardings, XLA partitions the
+    optimizer elementwise update across the data axis and inserts the
+    reduce-scatter (grads -> moment shards) + all-gather (param update) that
+    DeepSpeed implements by hand — each device holds 1/N of the Adam state.
+    Only shapes are consulted, so this works on traced values too."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n = mesh.shape[axis]
+
+    def leaf(x):
+        shape = tuple(getattr(x, "shape", ()))
+        best, best_d = 0, None
+        for d, s in enumerate(shape):
+            if s % n == 0 and s > best:
+                best, best_d = s, d
+        spec = [None] * len(shape)
+        if best_d is not None and n > 1:
+            spec[best_d] = axis
+        return NamedSharding(mesh, PartitionSpec(*spec))
+
+    return jax.tree.map(leaf, opt_state)
 
 
 def _split_trainable(params: EagleParams):
@@ -195,13 +233,23 @@ def multi_step_head_loss(ecfg: EagleConfig, params: EagleParams,
 
 
 def make_train_step(cfg_t: ModelConfig, ecfg: EagleConfig, tc: TrainConfig,
-                    feature_layers: Tuple[int, int, int]):
+                    feature_layers: Tuple[int, int, int],
+                    zero_mesh=None):
     """Jitted SPMD train step: (state, params_target, input_ids, loss_mask)
     -> (state, metrics). Shard input_ids/loss_mask over the mesh `data` axis;
-    replicated head params => pjit inserts the gradient all-reduce."""
+    replicated head params => pjit inserts the gradient all-reduce.
+
+    zero_mesh: enable ZeRO-equivalent optimizer-state sharding — the Adam
+    moments stay sharded over `data` across steps (constraints on both the
+    incoming and outgoing opt_state; pair with
+    init_train_state(..., zero_mesh=...))."""
     opt = make_optimizer(tc)
 
     def step(state: TrainState, params_t, input_ids, loss_mask):
+        if zero_mesh is not None:
+            state = state._replace(opt_state=jax.lax.with_sharding_constraint(
+                state.opt_state, zero_opt_shardings(state.opt_state,
+                                                    zero_mesh)))
         B, T = input_ids.shape
         cache = init_cache(cfg_t, B, T)
         logits, _, feats = transformer.forward(
@@ -225,6 +273,9 @@ def make_train_step(cfg_t: ModelConfig, ecfg: EagleConfig, tc: TrainConfig,
             loss_fn, has_aux=True)(trainable)
         updates, opt_state = opt.update(grads, state.opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
+        if zero_mesh is not None:
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, zero_opt_shardings(opt_state, zero_mesh))
         new_state = TrainState(params=_merge(trainable, frozen),
                                opt_state=opt_state, step=state.step + 1)
         metrics["loss"] = loss

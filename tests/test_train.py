@@ -80,6 +80,70 @@ def test_data_parallel_step_matches_single():
                                np.asarray(s2.params.fc), rtol=1e-4, atol=1e-5)
 
 
+def test_zero_sharded_step_matches_replicated():
+    """ZeRO-equivalent optimizer-state sharding (SURVEY §2.5, ref DeepSpeed
+    ZeRO-2): the train step with Adam moments sharded over `data` must
+    produce the same params/loss as the replicated step, and the moments
+    must actually live sharded across devices."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hsd_tpu.parallel import make_mesh
+    from hsd_tpu.train.eagle3 import zero_opt_shardings
+
+    pt, state, step, ids, lm = _setup()
+    ids = jnp.concatenate([ids, ids], 0)        # B=4 to shard over data=4
+    lm = jnp.concatenate([lm, lm], 0)
+    s1, m1 = step(state, pt, ids, lm)
+
+    mesh = make_mesh(data=4, model=1)
+    with jax.set_mesh(mesh):
+        zstate = init_train_state(state.params, TC, zero_mesh=mesh)
+        zstep = make_train_step(TCFG, ECFG, TC, default_feature_layers(TCFG),
+                                zero_mesh=mesh)
+        sharded_ids = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+        sharded_lm = jax.device_put(lm, NamedSharding(mesh, P("data", None)))
+        s2, m2 = zstep(zstate, pt, sharded_ids, sharded_lm)
+        jax.block_until_ready(s2.params.fc)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.params.fc),
+                               np.asarray(s2.params.fc), rtol=1e-4, atol=1e-5)
+    # the Adam mu leaf for fc is genuinely sharded (not replicated): its
+    # per-device shard covers 1/4 of the rows
+    mu_fc = s2.opt_state[1][0].mu["fc"]
+    shard_shapes = {s.data.shape for s in mu_fc.addressable_shards}
+    full = mu_fc.shape
+    assert any(np.prod(sh) == np.prod(full) // 4 for sh in shard_shapes), (
+        shard_shapes, full)
+    # second step keeps the sharded layout (constraint on the incoming state)
+    s3, _ = zstep(s2, pt, sharded_ids, sharded_lm)
+    mu_fc3 = s3.opt_state[1][0].mu["fc"]
+    assert {s.data.shape for s in mu_fc3.addressable_shards} == shard_shapes
+
+
+def test_eagle1_zero_sharded_step():
+    """eagle1 trainer accepts zero_mesh and trains with sharded moments."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hsd_tpu.parallel import make_mesh
+    from hsd_tpu.train.eagle1 import make_eagle1_train_step
+
+    pt = init_params(TCFG, jax.random.PRNGKey(0))
+    pe = init_eagle_params(ECFG, jax.random.PRNGKey(1))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 64,
+                             dtype=jnp.int32)
+    lm = jnp.ones((2, 16), jnp.float32)
+    base_step = make_eagle1_train_step(TCFG, ECFG, TC)
+    s1, m1 = base_step(init_train_state(pe, TC), pt, ids, lm)
+    mesh = make_mesh(data=2, model=1)
+    with jax.set_mesh(mesh):
+        zstep = make_eagle1_train_step(TCFG, ECFG, TC, zero_mesh=mesh)
+        zstate = init_train_state(pe, TC, zero_mesh=mesh)
+        s2, m2 = zstep(zstate, pt,
+                       jax.device_put(ids, NamedSharding(mesh, P("data", None))),
+                       jax.device_put(lm, NamedSharding(mesh, P("data", None))))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.params.fc),
+                               np.asarray(s2.params.fc), rtol=1e-4, atol=1e-5)
+
+
 def test_eagle1_loss_decreases():
     import dataclasses
     from hsd_tpu.models.eagle import init_eagle_params_v1

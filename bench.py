@@ -73,13 +73,17 @@ def run(gen, pd, pt, key, n_prompts=N_PROMPTS, warm=True):
     per_prompt, toks, secs = [], 0, 0.0
     if warm:
         r = gen(pd, pt, PROMPT, PLEN, jax.random.fold_in(key, 999))
-        r.tokens.block_until_ready()            # compile + cache warmup
+        int(r.ncommit)                          # compile + TRUE sync (fetch)
     for i in range(n_prompts):
+        # the scalar fetch inside the timed region is the only true device
+        # sync on the relay backend: block_until_ready alone was observed
+        # (2026-08-21) returning before completion — one ~0.6ms RTT per
+        # prompt is noise against multi-second generations
         t0 = time.perf_counter()
         res = gen(pd, pt, PROMPT, PLEN, jax.random.fold_in(key, 100 + i))
-        res.tokens.block_until_ready()
+        nc = int(res.ncommit)
         secs += time.perf_counter() - t0
-        toks += int(res.ncommit)
+        toks += nc
         acc = np.asarray(res.accepts)[:int(res.blocks)]
         if acc.size:
             per_prompt.append(float(np.mean(acc + 1)))
@@ -246,11 +250,11 @@ def main():
         CFG_B, EngineConfig(max_new_tokens=AR_NEW, temperature=1.0),
         model_forward=fwd, cache_init=cache_ops[0])
     r = ar(target, PROMPT, PLEN, jax.random.PRNGKey(7))
-    jax.block_until_ready(r[0])
+    int(r[1])                                   # compile + TRUE sync (fetch)
     t0 = time.perf_counter()
     toks, length = ar(target, PROMPT, PLEN, jax.random.PRNGKey(8))
-    jax.block_until_ready(toks)
-    ar_tps = (int(length) - 64) / (time.perf_counter() - t0)
+    n_ar = int(length) - 64                     # fetch inside timed region
+    ar_tps = n_ar / (time.perf_counter() - t0)
 
     be_hsd, tps_hsd, ci_hsd = results["hsd"]
     be_tok, tps_tok, ci_tok = results["tokenwise"]

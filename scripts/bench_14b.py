@@ -176,18 +176,19 @@ def main():
     prompt = (jnp.arange(32, dtype=jnp.int32) % 1000) + 10
     toks, length = gen(params, prompt, jnp.int32(32), jax.random.PRNGKey(1))
     jax.block_until_ready(toks)
-    # median of 3: the FIRST post-warmup execution's block_until_ready can
-    # return without waiting (one-deep relay pipelining; observed 2026-08-21
-    # as a bogus 0.0 ms/token) — later runs time correctly
-    dts = []
+    # median of 3 with a FORCED FETCH inside the timed region:
+    # block_until_ready alone can return before device completion on the
+    # relay backend (observed 2026-08-21: three back-to-back "timed" runs at
+    # 0.6ms each on a 16ms/token model) — only a value fetch is a true sync.
+    # The scalar fetch adds one ~0.6ms RTT, negligible vs the 0.5-1s run.
+    dts, n = [], 0
     for i in (2, 3, 4):
         t0 = time.perf_counter()
         toks, length = gen(params, prompt, jnp.int32(32),
                            jax.random.PRNGKey(i))
-        jax.block_until_ready(toks)
+        n = int(length) - 32
         dts.append(time.perf_counter() - t0)
     dt = sorted(dts)[1]
-    n = int(length) - 32
     ms = dt / n * 1e3
     print(f"e2e AR decode: {ms:.1f} ms/token ({n / dt:.1f} tok/s); "
           f"non-matvec residual {ms - matvec_us / 1e3:.1f} ms "

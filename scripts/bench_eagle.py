@@ -147,7 +147,7 @@ def main():
         for i in range(N_PROMPTS):
             r = gen(pt, pe, prompts[i], jnp.int32(16),
                     jax.random.fold_in(jax.random.PRNGKey(70), i))
-            r.tokens.block_until_ready()                  # compile/warm
+            int(r.ncommit)                                # compile/warm sync
             t0 = time.perf_counter()
             r = gen(pt, pe, prompts[i], jnp.int32(16),
                     jax.random.fold_in(jax.random.PRNGKey(100), i))

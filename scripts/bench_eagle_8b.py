@@ -72,16 +72,18 @@ def main():
     eng = EngineConfig(max_new_tokens=MAX_NEW, temperature=1.0)
     gen = make_eagle_generate(CFG, ECFG, eng, mode=MODE)
     res = gen(params_t, params_e, PROMPT, PLEN, jax.random.fold_in(key, 9))
-    res.tokens.block_until_ready()              # compile + warm
+    int(res.ncommit)                            # compile + TRUE sync
     blocks, toks, secs, acc = 0, 0, 0.0, 0
     for i in range(N_PROMPTS):
+        # scalar fetch INSIDE the timed region (relay block_until_ready can
+        # return before device completion, observed 2026-08-21)
         t0 = time.perf_counter()
         res = gen(params_t, params_e, PROMPT, PLEN,
                   jax.random.fold_in(key, 100 + i))
-        res.tokens.block_until_ready()
+        b_i, n_i = int(res.blocks), int(res.ncommit)
         secs += time.perf_counter() - t0
-        blocks += int(res.blocks)
-        toks += int(res.ncommit)
+        blocks += b_i
+        toks += n_i
         acc += int(jnp.sum(jnp.maximum(res.accepts, 0)))
     ms_block = 1e3 * secs / blocks
     be_meas = toks / blocks
@@ -90,11 +92,11 @@ def main():
     ar = make_autoregressive(
         CFG, EngineConfig(max_new_tokens=AR_NEW, temperature=1.0))
     r = ar(params_t, PROMPT, PLEN, jax.random.PRNGKey(7))
-    jax.block_until_ready(r[0])
+    int(r[1])                                   # compile + TRUE sync
     t0 = time.perf_counter()
     toks_ar, length = ar(params_t, PROMPT, PLEN, jax.random.PRNGKey(8))
-    jax.block_until_ready(toks_ar)
-    ms_ar = 1e3 * (time.perf_counter() - t0) / (int(length) - 64)
+    n_ar = int(length) - 64                     # fetch inside timed region
+    ms_ar = 1e3 * (time.perf_counter() - t0) / n_ar
 
     ref_be = 3.61                                 # EAGLE-3H/README.md:58-63
     print(json.dumps({

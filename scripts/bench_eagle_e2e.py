@@ -75,13 +75,15 @@ def run(gen, target, head, key, n_prompts=N_PROMPTS, warm=True):
     accepts = []
     if warm:  # compile + cache warmup outside the timed loop
         r = gen(target, head, PROMPT, PLEN, jax.random.fold_in(key, 999))
-        r.tokens.block_until_ready()
+        int(r.ncommit)                     # TRUE sync: scalar fetch
     for i in range(n_prompts):
+        # scalar fetch INSIDE the timed region: block_until_ready alone can
+        # return before device completion on the relay backend (2026-08-21)
         t0 = time.perf_counter()
         res = gen(target, head, PROMPT, PLEN, jax.random.fold_in(key, 50 + i))
-        res.tokens.block_until_ready()
+        nc = int(res.ncommit)
         secs += time.perf_counter() - t0
-        toks += int(res.ncommit)
+        toks += nc
         # BE from per-block telemetry (accept_len + 1), not ncommit/blocks:
         # the max_new clamp truncates the final block's commits
         accepts.extend(np.asarray(res.accepts)[: int(res.blocks)].tolist())
@@ -159,11 +161,11 @@ def main():
         CFG, EngineConfig(max_new_tokens=AR_NEW, temperature=1.0),
         model_forward=ar_fwd)
     r = ar(target, PROMPT, PLEN, jax.random.PRNGKey(7))
-    jax.block_until_ready(r[0])
+    int(r[1])                                   # compile + TRUE sync
     t1 = time.perf_counter()
     toks, length = ar(target, PROMPT, PLEN, jax.random.PRNGKey(8))
-    jax.block_until_ready(toks)
-    ar_tps = (int(length) - 64) / (time.perf_counter() - t1)
+    n_ar = int(length) - 64                     # fetch inside timed region
+    ar_tps = n_ar / (time.perf_counter() - t1)
 
     be_h, tps_h = results.get(CAL_MODE) or results.get("hsd") \
         or results[MODES[0]]

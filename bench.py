@@ -138,7 +138,7 @@ def calibrate_scale(gen_tok, key, target_be=6.0, probes=4):
     return 0.5 * (lo + hi), log
 
 
-def _serving_row(params_d, params_t, n_slots=4, reqs=12, srv_max_new=48):
+def _serving_row(params_d, params_t, n_slots=4, reqs=24, srv_max_new=48):
     """Continuous-vs-lockstep serving comparison on the 0.5B pair
     (heterogeneous budgets — the regime continuous batching exists for).
     Returns {cont_tok_s, lock_tok_s, ratio, be}."""

@@ -209,23 +209,33 @@ class SlotEngine:
         # instead of allocating a second copy of every cache each step
         self._step = jax.jit(pool_step, donate_argnums=(2, 3, 7, 8, 9, 10))
 
-        def prefill(params_d, params_t, prompt, prompt_len):
-            start = jnp.broadcast_to(self.bucket - prompt_len,
-                                     (R,)).astype(jnp.int32)
-            dcache = init_cache(cfg_d, R, S)._replace(start=start)
-            tcache = t_init(R, S, start)
-            pk = jnp.broadcast_to(prompt[None, :], (R, self.bucket))
-            _, dcache = transformer.forward(cfg_d, params_d, pk[:, :-2],
-                                            dcache)
-            # target prefill through the same slot-batched forward
-            # (singleton slot axis) so sharded targets prefill sharded too
-            _, tc1 = tfwd(params_t, pk[None, :, :-1],
-                          jax.tree.map(lambda x: x[None], tcache))
-            tcache = jax.tree.map(lambda x: x[0], tc1)
-            tokens = jnp.zeros((S,), jnp.int32).at[:self.bucket].set(prompt)
+        def prefill_batch(params_d, params_t, prompts, prompt_lens):
+            """Prefill a BATCH of admissions in one program: prompts
+            [A, bucket], prompt_lens [A] -> (tokens [A, S], dcache/tcache
+            with leading A axis). One dispatch per admission round instead
+            of 2*A serialized programs — the measured prefill overhead was
+            the common cost diluting the continuous-vs-lockstep ratio
+            toward 1 (r4 serving profile: ~1.2s of a ~3s 12-request run)."""
+            A_ = prompts.shape[0]
+            start = (self.bucket - prompt_lens)[:, None].astype(jnp.int32)
+            start = jnp.broadcast_to(start, (A_, R))
+            dcache = jax.vmap(
+                lambda st: init_cache(cfg_d, R, S)._replace(start=st))(start)
+            tcache = jax.vmap(lambda st: t_init(R, S, st))(start)
+            pk = jnp.broadcast_to(prompts[:, None, :],
+                                  (A_, R, self.bucket))
+            _, dcache = jax.vmap(
+                lambda p, c: transformer.forward(cfg_d, params_d,
+                                                 p[:, :-2], c))(pk, dcache)
+            # target prefill through the same slot-batched forward (the A
+            # axis rides as the slot axis) so sharded targets prefill
+            # sharded too
+            _, tcache = tfwd(params_t, pk[:, :, :-1], tcache)
+            tokens = jnp.zeros((A_, S), jnp.int32).at[:, :self.bucket].set(
+                prompts)
             return tokens, dcache, tcache
 
-        self._prefill = jax.jit(prefill)
+        self._prefill_batch = jax.jit(prefill_batch)
 
         A = self.admit_batch
 
@@ -305,23 +315,26 @@ class SlotEngine:
             while self.queue and free and len(batch) < self.admit_batch:
                 req = self.queue.popleft()
                 s = free.pop(0)
-                tokens, dcache, tcache = self._prefill(
-                    self.params_d, self.params_t,
-                    jnp.asarray(req.prompt), jnp.int32(req.prompt_len))
-                batch.append((s, req, tokens, dcache, tcache))
+                batch.append((s, req))
                 self.slot_rid[s] = req.rid
                 self.running[req.rid] = req
             A = self.admit_batch
+            # ONE batched prefill program for the whole admission round
+            # (pad rows repeat the last prompt; their scatter targets are
+            # out-of-bounds and dropped)
+            prompts = np.stack([b[1].prompt for b in batch]
+                               + [batch[-1][1].prompt] * (A - len(batch)))
+            plens = np.asarray([b[1].prompt_len for b in batch]
+                               + [batch[-1][1].prompt_len] * (A - len(batch)),
+                               np.int32)
+            tokens_new, dc_new, tc_new = self._prefill_batch(
+                self.params_d, self.params_t, jnp.asarray(prompts),
+                jnp.asarray(plens))
             slots = np.full((A,), self.n_slots, np.int32)  # pad -> dropped
             slots[:len(batch)] = [b[0] for b in batch]
             mn = np.full((A,), self.engine.max_new_tokens, np.int32)
             mn[:len(batch)] = [min(b[1].max_new, self.engine.max_new_tokens)
                                for b in batch]
-            stk = lambda xs: jax.tree.map(
-                lambda *a: jnp.stack(list(a) + [a[-1]] * (A - len(a))), *xs)
-            tokens_new = stk([b[2] for b in batch])
-            dc_new = stk([b[3] for b in batch])
-            tc_new = stk([b[4] for b in batch])
             self.state = self._scatter(self.state, jnp.asarray(slots),
                                        jnp.asarray(mn), tokens_new, dc_new,
                                        tc_new)
@@ -331,15 +344,17 @@ class SlotEngine:
         done = np.asarray(self.state.done)
         if not done.any():
             return finished
-        acc = np.asarray(self.state.acc_sum)
-        blk = np.asarray(self.state.blk_cnt)
-        lengths = np.asarray(self.state.length)
+        # one consolidated fetch for the whole harvest round (the per-slot
+        # tokens fetches were one RTT each)
+        acc, blk, lengths, all_toks = jax.device_get(
+            (self.state.acc_sum, self.state.blk_cnt, self.state.length,
+             self.state.tokens))
         for s in range(self.n_slots):
             if done[s] and self.slot_rid[s] >= 0:
                 rid = self.slot_rid[s]
                 req = self.running.pop(rid)
                 ln = int(lengths[s])
-                toks = np.asarray(self.state.tokens[s])[self.bucket:ln]
+                toks = all_toks[s][self.bucket:ln]
                 eos = self.cfg_t.eos_token_id
                 if eos in toks.tolist():
                     toks = toks[:toks.tolist().index(eos) + 1]
@@ -357,13 +372,13 @@ class SlotEngine:
     def step(self) -> List[Request]:
         """Admit queued requests, run one speculative block for all active
         slots, harvest finished requests."""
+        t0 = time.perf_counter()
         self._admit()
         if all(r < 0 for r in self.slot_rid):
             return []
         self.key, k = jax.random.split(self.key)
         keys = jax.random.split(k, self.n_slots)
         st = self.state
-        t0 = time.perf_counter()
         (tokens, length, done, acc_sum, blk_cnt, dcache, tcache) = self._step(
             self.params_d, self.params_t, st.tokens, st.length,
             st.prompt_end, st.max_new, st.active, st.acc_sum, st.blk_cnt,
@@ -372,8 +387,12 @@ class SlotEngine:
                                  done=st.done | done, acc_sum=acc_sum,
                                  blk_cnt=blk_cnt, dcache=dcache,
                                  tcache=tcache)
-        self.step_time += time.perf_counter() - t0
         out = self._harvest()
+        # step_time spans admit+dispatch+harvest: the _step dispatch alone
+        # is ASYNC on the relay backend (returns in ~0; the device sync is
+        # the harvest's done-flag fetch), so timing only the dispatch made
+        # stats() tokens_per_s meaningless
+        self.step_time += time.perf_counter() - t0
         self.total_committed += sum(len(r.out_tokens) for r in out)
         return out
 

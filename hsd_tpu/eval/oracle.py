@@ -65,7 +65,8 @@ class MixedLanguage(NamedTuple):
 
 def make_language(key, vocab: int = 2048, n_words: int = 600,
                   max_wlen: int = 4, branch_max: int = 12,
-                  det_frac: float = 0.35) -> MixedLanguage:
+                  det_frac: float = 0.35,
+                  zipf_exp: float = 1.2) -> MixedLanguage:
     """Host-side construction (numpy; shapes are tiny).
 
     - word lengths ~ Zipf capped at max_wlen (most words short);
@@ -86,7 +87,7 @@ def make_language(key, vocab: int = 2048, n_words: int = 600,
     # popularity-skewed successor draws: id ~ floor(n_words * u^2)
     succ = np.minimum((n_words * rng.random((n_words, branch_max)) ** 2),
                       n_words - 1).astype(np.int32)
-    w = 1.0 / (1.0 + np.arange(branch_max, dtype=np.float32)) ** 1.2
+    w = 1.0 / (1.0 + np.arange(branch_max, dtype=np.float32)) ** zipf_exp
     w = np.broadcast_to(w, (n_words, branch_max)).copy()
     w *= rng.uniform(0.5, 1.5, (n_words, branch_max)).astype(np.float32)
     w[np.arange(branch_max)[None, :] >= n_succ[:, None]] = 0.0

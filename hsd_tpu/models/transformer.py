@@ -359,21 +359,26 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         x, k_all, v_all = carry
         lp, idx = inp
 
-        def lin(name, h, bias=None):
+        def lin(name, h, bias=None, rms=None):
             if name in qnames:
                 return apply_linear(names[name], h, bias, layer=idx,
-                                    path=cfg.gptq_path)
-            return apply_linear(lp[name], h, bias, path=cfg.gptq_path)
+                                    path=cfg.gptq_path, rms=rms)
+            return apply_linear(lp[name], h, bias, path=cfg.gptq_path,
+                                rms=rms)
 
         x_in = x
-        h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
         if "wqkv" in names:
-            # fused single-chip layout (fuse_params): one matmul for q|k|v
-            qkv = lin("wqkv", h, lp.get("bqkv"))
+            # fused single-chip layout (fuse_params): one matmul for q|k|v,
+            # with the input RMS norm fused into the quantized kernel's
+            # activation read when supported (apply_linear rms=)
+            qkv = lin("wqkv", x, lp.get("bqkv"),
+                      rms=(lp["ln1"], cfg.rms_norm_eps))
             q = qkv[..., :H * hd]
             k = qkv[..., H * hd:(H + Hkv) * hd]
             v = qkv[..., (H + Hkv) * hd:]
         else:
+            # unfused q/k/v: 3 consumers -> norm once in XLA
+            h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
             q = lin("wq", h, lp.get("bq"))
             k = lin("wk", h, lp.get("bk"))
             v = lin("wv", h, lp.get("bv"))
@@ -396,18 +401,19 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
             att = _attention(q, k_buf, v_buf, q_index, cache.length,
                              cache.start, attn_bias)
         x = x + reduce_tp(lin("wo", att.reshape(B, T, H * hd)))
-        h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
         if "gate" in names:
+            h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
             x = x + _moe_ffn(cfg, lp, h, tp_axis=tp_axis)
         elif "wgu" in names:
             assert tp_axis is None, "TP runs keep the unfused layout"
             wdown = names["wdown"]
             F = wdown.din if isinstance(wdown, QuantizedLinear) \
                 else wdown.shape[-2]  # logical in-dim (packed int4 aware)
-            gu = lin("wgu", h)
+            gu = lin("wgu", x, rms=(lp["ln2"], cfg.rms_norm_eps))
             ff = jax.nn.silu(gu[..., :F]) * gu[..., F:]
             x = x + lin("wdown", ff)
         else:
+            h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
             ff = jax.nn.silu(lin("wgate", h)) * lin("wup", h)
             x = x + reduce_tp(lin("wdown", ff))
         if collect_inputs:

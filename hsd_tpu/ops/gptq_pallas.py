@@ -71,6 +71,38 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs, n_in_blocks,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _kernel_ln(x_ref, ln_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs,
+               n_in_blocks, eps, stacked=False):
+    """int8 kernel with the RMS norm FUSED into the activation read: x_ref
+    is the FULL raw [npad, din] activations (f32, unblocked — x is tiny);
+    the kernel computes r = rsqrt(mean(x^2)+eps) per grid step (~npad*din
+    VPU flops, noise) and feeds the dot r-scaled, ln-weighted features.
+    Kills the separate per-layer norm kernels that ran at a ~21us launch
+    floor each (~1.9ms of the 48-layer decode; NEXT.md r3 item 1).
+    Fused path requires zeros=None (no external correction needed)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    codes = (w_ref[0] if stacked else w_ref[:]).astype(jnp.float32)
+    in_blk, out_blk = codes.shape
+    codes = codes.reshape(gpb, gs, out_blk)
+    scale = _scale_slice(s_ref, gpb, n_in_blocks, stacked=stacked)
+    w = (codes * scale[:, None, :]).reshape(in_blk, out_blk)
+    xf = x_ref[:]
+    r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
+    off = pl.multiple_of(i * in_blk, 128)       # block_in % 128 == 0 (int8)
+    xb = (x_ref[:, pl.ds(off, in_blk)] * r
+          * ln_ref[0, pl.ds(off, in_blk)][None, :])
+    acc_ref[:] += jnp.dot(xb, w, preferred_element_type=jnp.float32)
+
+    @pl.when(i == n_in_blocks - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
                  gpb, gs_p, n_in_blocks, stacked=False):
     """Nibble-packed int4 variant. Grid (out_blocks, in_blocks) over PACKED
@@ -118,6 +150,50 @@ def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
     acc_ref[:] += (jnp.dot(xe_ref[:], wl, preferred_element_type=jnp.float32)
                    + jnp.dot(xm_ref[:], wh,
                              preferred_element_type=jnp.float32))
+
+    @pl.when(i == n_in_blocks - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _kernel_int4_ln(xf_ref, ln_ref, xe_ref, xm_ref, w_ref, s_ref, o_ref,
+                    acc_ref, *, gpb, gs_p, n_in_blocks, eps, stacked=False):
+    """Nibble-packed int4 kernel with FUSED RMS norm AND the symmetric -8
+    zero-correction folded in-kernel on the NORMED group sums (NEXT.md r3
+    item 1: each in-block's groups are block-local, so the per-tile
+    correction contribution accumulates without cross-block state — the
+    external rank-1 epilogue disappears entirely on this path).
+
+    xf_ref: FULL raw [npad, din] activations (f32, unblocked) for the
+    row-norm; xe/xm: blocked RAW halves; ln_ref: [2, block_in] norm weight
+    halves (lo plane = features [0, din/2))."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    b = (w_ref[0] if stacked else w_ref[:]).astype(jnp.int32)  # [in_p, out]
+    in_p, out_blk = b.shape
+    sp = (s_ref[0] if stacked else s_ref[:]).astype(jnp.float32)
+    sl, sh = sp[0, 0], sp[1, 0]                               # [gpb, out]
+    lf = (b & 15).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
+    hf = (b >> 4).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
+    wl = (lf * sl[:, None, :]).reshape(in_p, out_blk)
+    wh = (hf * sh[:, None, :]).reshape(in_p, out_blk)
+    xf = xf_ref[:]
+    r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
+    ln2 = ln_ref[:]                                           # [2, in_p]
+    xe = xe_ref[:] * r * ln2[0][None, :]
+    xo = xm_ref[:] * r * ln2[1][None, :]
+    acc_ref[:] += (jnp.dot(xe, wl, preferred_element_type=jnp.float32)
+                   + jnp.dot(xo, wh, preferred_element_type=jnp.float32))
+    npad = xe.shape[0]
+    xg_e = jnp.sum(xe.reshape(npad, gpb, gs_p), axis=2)       # [npad, gpb]
+    xg_o = jnp.sum(xo.reshape(npad, gpb, gs_p), axis=2)
+    acc_ref[:] -= 8.0 * (
+        jnp.dot(xg_e, sl, preferred_element_type=jnp.float32)
+        + jnp.dot(xg_o, sh, preferred_element_type=jnp.float32))
 
     @pl.when(i == n_in_blocks - 1)
     def _():
@@ -183,12 +259,19 @@ def _pick_block_in(din: int, gs: int, target: int = 8192) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("block_out", "block_in",
-                                             "interpret", "vmem_cap_mb"))
+                                             "interpret", "vmem_cap_mb",
+                                             "ln_eps"))
 def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
                 block_in: int = 0, interpret: bool = False,
                 vmem_cap_mb: int = 8,
-                layer_index=None) -> jax.Array:
+                layer_index=None, ln: jax.Array = None,
+                ln_eps: float = 1e-6) -> jax.Array:
     """y = x @ dequant(qw). x: [..., in]; returns [..., out] in x.dtype.
+
+    ln: optional RMS-norm weight [in] — fuses y = rmsnorm(x, ln) @ dequant
+    into the kernel (norm computed in the activation read; requires
+    zeros=None, i.e. symmetric quantization). The packed path also folds
+    its -8 shift correction in-kernel on the normed group sums.
 
     Rows are padded to the f32 sublane (8). in must divide by a multiple of
     the group size (model dims are multiples of 128 in practice); block_out=0
@@ -206,6 +289,10 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
     """
     stacked = layer_index is not None
     packed = qw.qweight.dtype == jnp.uint8
+    fuse_ln = ln is not None
+    if fuse_ln and qw.zeros is not None:
+        raise ValueError("RMS-norm fusion requires symmetric quantization "
+                         "(zeros=None); asymmetric shapes norm in XLA")
     rows, dout = qw.qweight.shape[-2:]         # packed: rows = din/2
     din = 2 * rows if packed else rows
     groups = qw.scales.shape[-2]
@@ -259,18 +346,23 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
         s_map = lambda o, i, s: (s[0], 0, o)
         x_map = lambda o, i, s: (0, i)
         o_map = lambda o, i, s: (0, o)
+        c_map = lambda o, i, s: (0, 0)
     else:
         wl = ()
         w_map = lambda o, i: (i, o)
         s_map = lambda o, i: (0, o)
         x_map = lambda o, i: (0, i)
         o_map = lambda o, i: (0, o)
+        c_map = lambda o, i: (0, 0)
 
     w_spec = pl.BlockSpec((*wl, block_in, block_out), w_map,
                           memory_space=pltpu.VMEM)
     s_spec = pl.BlockSpec((*wl, groups, block_out), s_map,
                           memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((npad, block_in), x_map, memory_space=pltpu.VMEM)
+    # fused-norm refs: the FULL raw x (for the row-norm; tiny) and the norm
+    # weight, both constant across the grid
+    xfull_spec = pl.BlockSpec((npad, din), c_map, memory_space=pltpu.VMEM)
     if packed:
         # split-half planes: xe/xo are the CONTIGUOUS halves of x (free —
         # the old stride-2 deinterleave measured ~15us/call). Both planes
@@ -292,10 +384,29 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
             s3_spec = pl.BlockSpec((2, 1, gpb, block_out),
                                    lambda o, i: (0, i, 0, o),
                                    memory_space=pltpu.VMEM)
-        in_specs = [x_spec, x_spec, w_spec, s3_spec]
-        args = [xe, xo, qw.qweight, s3]
-        kern = functools.partial(_kernel_int4, gpb=gpb, gs_p=gs_k,
-                                 n_in_blocks=n_in_blocks, stacked=stacked)
+        if fuse_ln:
+            ln2 = ln.astype(jnp.float32).reshape(2, rows)
+            ln2_spec = pl.BlockSpec((2, block_in), x_map,
+                                    memory_space=pltpu.VMEM)
+            in_specs = [xfull_spec, ln2_spec, x_spec, x_spec, w_spec,
+                        s3_spec]
+            args = [x2.astype(jnp.float32), ln2, xe, xo, qw.qweight, s3]
+            kern = functools.partial(_kernel_int4_ln, gpb=gpb, gs_p=gs_k,
+                                     n_in_blocks=n_in_blocks, eps=ln_eps,
+                                     stacked=stacked)
+        else:
+            in_specs = [x_spec, x_spec, w_spec, s3_spec]
+            args = [xe, xo, qw.qweight, s3]
+            kern = functools.partial(_kernel_int4, gpb=gpb, gs_p=gs_k,
+                                     n_in_blocks=n_in_blocks, stacked=stacked)
+    elif fuse_ln:
+        ln1_spec = pl.BlockSpec((1, din), c_map, memory_space=pltpu.VMEM)
+        in_specs = [xfull_spec, ln1_spec, w_spec, s_spec]
+        args = [x2.astype(jnp.float32), ln.astype(jnp.float32).reshape(1, din),
+                qw.qweight, qw.scales]
+        kern = functools.partial(_kernel_ln, gpb=gpb, gs=gs,
+                                 n_in_blocks=n_in_blocks, eps=ln_eps,
+                                 stacked=stacked)
     else:
         in_specs = [x_spec, w_spec, s_spec]
         args = [x2, qw.qweight, qw.scales]
@@ -336,7 +447,7 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
             scratch_shapes=scratch, **common,
         )(*args)
 
-    if qw.zeros is not None or packed:
+    if (qw.zeros is not None or packed) and not fuse_ln:
         # rank-1 zero-point correction outside the kernel:
         # y[n,o] -= sum_g (sum_{i in g} x[n,i]) * zero[g,o]*scale[g,o]
         # packed int4 stores unsigned nibbles (code+8), so the uniform -8

@@ -214,9 +214,16 @@ def _use_pallas(x, w, path: Optional[str] = None) -> bool:
     return on_tpu and n_rows <= 128 and pallas_supported(x, w)
 
 
+def _rms_xla(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
 def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
                  layer: Optional[jax.Array] = None,
-                 path: Optional[str] = None) -> jax.Array:
+                 path: Optional[str] = None,
+                 rms=None) -> jax.Array:
     """y = x @ w (+ b) for dense arrays or QuantizedLinear pytrees.
 
     layer: for a LAYER-STACKED QuantizedLinear (qweight [L, in, out]), select
@@ -225,11 +232,19 @@ def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
     HBM array instead of paying XLA's dynamic-slice materialization before
     the custom call (3x weight traffic; see gptq_pallas.gptq_matmul).
     path: 'auto' | 'pallas' | 'xla' override (ModelConfig.gptq_path; TP
-    targets must use 'xla' — GSPMD cannot partition the custom call)."""
+    targets must use 'xla' — GSPMD cannot partition the custom call).
+    rms: optional (norm_weight [in], eps) — y = rmsnorm(x) @ w. On the
+    symmetric-quantized Pallas path the norm FUSES into the kernel's
+    activation read (kills the per-layer norm kernels' ~21us launch floors,
+    ~1.9ms of the 48-layer decode); every other path norms in XLA first."""
+    rms_w, rms_eps = rms if rms is not None else (None, 0.0)
     if isinstance(w, QuantizedLinear):
         if w.perm is not None:
             # desc_act layout: gather activations into group-sorted order so
             # every kernel below sees contiguous groups (loader docstring)
+            if rms_w is not None:       # norm is feature-order-sensitive:
+                x = _rms_xla(x, rms_w, rms_eps)   # apply BEFORE the gather
+                rms_w = None
             p = w.perm
             if p.ndim == 2:  # layer-stacked [L, in]
                 p = (jnp.take(p, layer, axis=0) if layer is not None
@@ -238,21 +253,29 @@ def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
             w = w._replace(perm=None)
         # interpret-mode keeps forced-pallas testable on the CPU mesh
         interp = jax.default_backend() != "tpu"
+        use_pl = _use_pallas(x, w, path)
+        fuse = use_pl and rms_w is not None and w.zeros is None
+        if rms_w is not None and not fuse:
+            x = _rms_xla(x, rms_w, rms_eps)
+        ln_kw = dict(ln=rms_w, ln_eps=rms_eps) if fuse else {}
         if layer is not None and w.qweight.ndim == 3:
-            if _use_pallas(x, w, path):
+            if use_pl:
                 from .gptq_pallas import gptq_matmul
-                y = gptq_matmul(x, w, layer_index=layer, interpret=interp)
+                y = gptq_matmul(x, w, layer_index=layer, interpret=interp,
+                                **ln_kw)
             else:
                 sliced = jax.tree.map(
                     lambda a: jax.lax.dynamic_index_in_dim(
                         a, layer, 0, keepdims=False), w)
                 y = _gptq_matmul_xla(x, sliced)
-        elif _use_pallas(x, w, path):
+        elif use_pl:
             from .gptq_pallas import gptq_matmul
-            y = gptq_matmul(x, w, interpret=interp)
+            y = gptq_matmul(x, w, interpret=interp, **ln_kw)
         else:
             y = _gptq_matmul_xla(x, w)
     else:
+        if rms_w is not None:
+            x = _rms_xla(x, rms_w, rms_eps)
         if layer is not None:
             w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
         y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype))

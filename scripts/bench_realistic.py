@@ -53,9 +53,13 @@ MAX_NEW = int(os.environ.get("RB_MAX_NEW", 256))
 GAMMA = int(os.environ.get("RB_GAMMA", 10))
 DET_FRAC = float(os.environ.get("RB_DET_FRAC", 0.35))
 BRANCH_MAX = int(os.environ.get("RB_BRANCH_MAX", 12))
+MAX_WLEN = int(os.environ.get("RB_MAX_WLEN", 4))
+ZIPF = float(os.environ.get("RB_ZIPF", 1.2))
+N_WORDS = int(os.environ.get("RB_N_WORDS", 600))
 DLAYERS = int(os.environ.get("RB_DRAFT_LAYERS", 2))
 DHID = int(os.environ.get("RB_DRAFT_HIDDEN", 160))
 SKIP_EAGLE = bool(int(os.environ.get("RB_SKIP_EAGLE", "0")))
+SKIP_SPEC = bool(int(os.environ.get("RB_SKIP_SPEC", "0")))
 SEQ, BATCH = 96, 64
 
 CFG_T = ModelConfig.tiny(vocab_size=V, hidden_size=256,
@@ -93,13 +97,18 @@ def main():
     key = jax.random.PRNGKey(0)
     t00 = time.time()
     lang = make_language(jax.random.fold_in(key, 1), vocab=V,
-                         det_frac=DET_FRAC, branch_max=BRANCH_MAX)
+                         n_words=N_WORDS, max_wlen=MAX_WLEN,
+                         det_frac=DET_FRAC, branch_max=BRANCH_MAX,
+                         zipf_exp=ZIPF)
 
     t0 = time.time()
     pt, target_ce = train_lm(CFG_T, jax.random.fold_in(key, 2), lang,
                              steps=TARGET_STEPS, batch=BATCH, seq=SEQ)
     print(f"[{time.time()-t00:.0f}s] target trained CE={target_ce:.3f}",
           flush=True)
+    if SKIP_SPEC:
+        _eagle_only(key, t00, lang, pt, target_ce)
+        return
     pd, distill_ce = distill_lm(CFG_D, CFG_T, pt, jax.random.fold_in(key, 3),
                                 lang, steps=DISTILL_STEPS, batch=BATCH,
                                 seq=SEQ)
@@ -205,68 +214,83 @@ def main():
 
     # ---- EAGLE trie ordering at production geometry -----------------------
     if not SKIP_EAGLE:
-        ecfg = EagleConfig(hidden_size=256, target_hidden_size=256,
-                           num_heads=4, num_kv_heads=2, vocab_size=V,
-                           draft_vocab_size=V, intermediate_size=512,
-                           top_k=10, depth=6, total_tokens=59,
-                           dtype=jnp.float32, rope_theta=CFG_T.rope_theta)
-        pe = init_eagle_params(ecfg, jax.random.fold_in(key, 8))
-        tc = TrainConfig(steps=3, lr=2e-3,
-                         warmup_steps=min(100, max(1, HEAD_STEPS // 5)),
-                         total_steps=HEAD_STEPS, max_len=SEQ)
-        state = init_train_state(pe, tc)
-        hstep = make_train_step(CFG_T, ecfg, tc, default_feature_layers(CFG_T))
-        mask = jnp.ones((BATCH, SEQ), jnp.float32)
-        t0 = time.time()
-        for i in range(HEAD_STEPS):
-            ids = sample_tokens(jax.random.fold_in(jax.random.PRNGKey(17), i),
-                                lang, BATCH, SEQ)
-            state, metrics = hstep(state, pt, ids, mask)
-        pe = state.params
-        print(f"[{time.time()-t00:.0f}s] head distilled acc0="
-              f"{float(metrics['acc_0']):.3f} ({time.time()-t0:.0f}s)",
-              flush=True)
-
-        emodes = {}
-        eng = EngineConfig(max_new_tokens=128, temperature=1.0)
-        for mode in ("typical", "hsd", "hsd_ref", "greedy"):
-            egen = make_eagle_generate(CFG_T, ecfg, eng, mode=mode)
-            accepts, toks, secs = [], 0, 0.0
-            r = egen(pt, pe, prompts[0], jnp.int32(64),
-                     jax.random.fold_in(key, 900))
-            int(r.ncommit)
-            for i in range(N_PROMPTS):
-                t0 = time.perf_counter()
-                r = egen(pt, pe, prompts[i % len(prompts)], jnp.int32(64),
-                         jax.random.fold_in(key, 300 + i))
-                nc = int(r.ncommit)
-                secs += time.perf_counter() - t0
-                toks += nc
-                accepts.extend(np.asarray(r.accepts)[:int(r.blocks)].tolist())
-            acc = np.asarray(accepts)
-            hist = np.bincount(np.clip(acc, 0, None), minlength=7)
-            emodes[mode] = {
-                "be": round(float(np.mean(acc + 1)), 3),
-                "tok_s": round(toks / secs, 1),
-                "accept_hist": np.round(hist / max(len(acc), 1), 3).tolist(),
-            }
-            print(f"[{time.time()-t00:.0f}s] eagle {mode} {emodes[mode]}",
-                  flush=True)
-        out["context"]["eagle"] = {
-            "modes": emodes,
-            "uplift_hsd_vs_typical": round(
-                emodes["hsd"]["be"] / emodes["typical"]["be"], 4),
-            "reference": {"typical_be": 4.217, "hsd_be": 4.608,
-                          "uplift": 1.093,
-                          "typical_hist": [.203, .121, .109, .098, .080,
-                                           .072, .317],
-                          "hsd_hist": [.138, .104, .113, .106, .092, .093,
-                                       .354],
-                          "source": "EAGLE-3H/results/h100_*/"
-                                    "*_info.jsonl (80 GSM8K questions)"},
-        }
+        out["context"]["eagle"] = eagle_rows(key, t00, lang, pt, prompts)
 
     print(json.dumps(out))
+
+
+def eagle_rows(key, t00, lang, pt, prompts):
+    """Distill an EAGLE-3 head off the trained target and measure the trie
+    verifier modes at production geometry. Returns the context dict."""
+    ecfg = EagleConfig(hidden_size=256, target_hidden_size=256,
+                       num_heads=4, num_kv_heads=2, vocab_size=V,
+                       draft_vocab_size=V, intermediate_size=512,
+                       top_k=10, depth=6, total_tokens=59,
+                       dtype=jnp.float32, rope_theta=CFG_T.rope_theta)
+    pe = init_eagle_params(ecfg, jax.random.fold_in(key, 8))
+    tc = TrainConfig(steps=3, lr=2e-3,
+                     warmup_steps=min(100, max(1, HEAD_STEPS // 5)),
+                     total_steps=HEAD_STEPS, max_len=SEQ)
+    state = init_train_state(pe, tc)
+    hstep = make_train_step(CFG_T, ecfg, tc, default_feature_layers(CFG_T))
+    mask = jnp.ones((BATCH, SEQ), jnp.float32)
+    t0 = time.time()
+    for i in range(HEAD_STEPS):
+        ids = sample_tokens(jax.random.fold_in(jax.random.PRNGKey(17), i),
+                            lang, BATCH, SEQ)
+        state, metrics = hstep(state, pt, ids, mask)
+    pe = state.params
+    print(f"[{time.time()-t00:.0f}s] head distilled acc0="
+          f"{float(metrics['acc_0']):.3f} ({time.time()-t0:.0f}s)",
+          flush=True)
+
+    emodes = {}
+    eng = EngineConfig(max_new_tokens=128, temperature=1.0)
+    for mode in ("typical", "hsd", "hsd_ref", "greedy"):
+        egen = make_eagle_generate(CFG_T, ecfg, eng, mode=mode)
+        accepts, toks, secs = [], 0, 0.0
+        r = egen(pt, pe, prompts[0], jnp.int32(64),
+                 jax.random.fold_in(key, 900))
+        int(r.ncommit)
+        for i in range(N_PROMPTS):
+            t0 = time.perf_counter()
+            r = egen(pt, pe, prompts[i % len(prompts)], jnp.int32(64),
+                     jax.random.fold_in(key, 300 + i))
+            nc = int(r.ncommit)
+            secs += time.perf_counter() - t0
+            toks += nc
+            accepts.extend(np.asarray(r.accepts)[:int(r.blocks)].tolist())
+        acc = np.asarray(accepts)
+        hist = np.bincount(np.clip(acc, 0, None), minlength=7)
+        emodes[mode] = {
+            "be": round(float(np.mean(acc + 1)), 3),
+            "tok_s": round(toks / secs, 1),
+            "accept_hist": np.round(hist / max(len(acc), 1), 3).tolist(),
+        }
+        print(f"[{time.time()-t00:.0f}s] eagle {mode} {emodes[mode]}",
+              flush=True)
+    return {
+        "modes": emodes,
+        "head_steps": HEAD_STEPS,
+        "uplift_hsd_vs_typical": round(
+            emodes["hsd"]["be"] / emodes["typical"]["be"], 4),
+        "reference": {"typical_be": 4.217, "hsd_be": 4.608,
+                      "uplift": 1.093,
+                      "typical_hist": [.203, .121, .109, .098, .080,
+                                       .072, .317],
+                      "hsd_hist": [.138, .104, .113, .106, .092, .093,
+                                   .354],
+                      "source": "EAGLE-3H/results/h100_*/"
+                                "*_info.jsonl (80 GSM8K questions)"},
+    }
+
+
+def _eagle_only(key, t00, lang, pt, target_ce):
+    prompts = sample_tokens(jax.random.fold_in(key, 5), lang,
+                            max(N_PROMPTS, 4), 64)
+    ctx = eagle_rows(key, t00, lang, pt, prompts)
+    print(json.dumps({"metric": "realistic_eagle_only",
+                      "target_ce": round(target_ce, 3), "eagle": ctx}))
 
 
 if __name__ == "__main__":

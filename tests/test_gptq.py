@@ -211,6 +211,80 @@ def test_ragged_out_blocks(bits, symmetric):
                                rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.parametrize("bits,din,dout,bi,bo", [
+    (8, 512, 512, 0, 0),       # single in-block
+    (8, 4096, 256, 1024, 128),  # multi in-block, group-sliced scales
+    (4, 512, 512, 0, 0),
+    (4, 4096, 256, 1024, 128),
+    (4, 512, 1664, 0, 512),    # ragged out-blocks compose with fusion
+])
+def test_fused_rms_norm_parity(bits, din, dout, bi, bo):
+    """gptq_matmul(ln=g) == rmsnorm-then-matmul (NEXT.md r3 item 1: the norm
+    computed in the kernel's activation read; packed path additionally folds
+    the -8 correction on normed group sums in-kernel)."""
+    w, qw, x = _mk(jax.random.PRNGKey(31 + bits), din=din, dout=dout,
+                   bits=bits, symmetric=True)
+    g = jax.random.normal(jax.random.PRNGKey(7), (din,), jnp.float32) * 0.5 + 1.0
+    eps = 1e-6
+    xf = x.astype(jnp.float32)
+    xn = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + eps) * g
+    want = xn @ dequantize(qw, jnp.float32)
+    got = gptq_matmul(x, qw, block_in=bi, block_out=bo, interpret=True,
+                      ln=g, ln_eps=eps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_fused_rms_norm_stacked():
+    """Fusion composes with the layer-stacked scalar-prefetch path."""
+    L = 2
+    qs = [_mk(jax.random.PRNGKey(40 + i), din=512, dout=256, bits=4,
+              symmetric=True)[1] for i in range(L)]
+    stacked = QuantizedLinear(qweight=jnp.stack([q.qweight for q in qs]),
+                              scales=jnp.stack([q.scales for q in qs]),
+                              zeros=None)
+    x = jax.random.normal(jax.random.PRNGKey(41), (2, 512), jnp.float32)
+    g = jnp.abs(jax.random.normal(jax.random.PRNGKey(42), (512,))) + 0.5
+    eps = 1e-6
+    xf = x.astype(jnp.float32)
+    xn = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + eps) * g
+    for l in range(L):
+        want = xn @ dequantize(qs[l], jnp.float32)
+        got = gptq_matmul(x, stacked, block_in=256, block_out=128,
+                          interpret=True, layer_index=jnp.int32(l),
+                          ln=g, ln_eps=eps)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4, err_msg=f"layer {l}")
+
+
+def test_fused_rms_norm_asymmetric_rejected():
+    w, qw, x = _mk(jax.random.PRNGKey(50), bits=8, symmetric=False)
+    g = jnp.ones((256,), jnp.float32)
+    with pytest.raises(ValueError, match="symmetric"):
+        gptq_matmul(x, qw, interpret=True, ln=g)
+
+
+def test_apply_linear_rms_dispatch():
+    """apply_linear(rms=...) matches norm-then-matmul on every path:
+    quantized symmetric (fused), quantized asymmetric (XLA pre-norm),
+    dense."""
+    from hsd_tpu.models.transformer import rms_norm
+    eps = 1e-6
+    g = jnp.abs(jax.random.normal(jax.random.PRNGKey(60), (256,))) + 0.5
+    for sym in (True, False):
+        w, qw, x = _mk(jax.random.PRNGKey(61 + sym), symmetric=sym)
+        got = apply_linear(qw, x, rms=(g, eps))
+        want = apply_linear(qw, rms_norm(x, g, eps))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+    wd = jax.random.normal(jax.random.PRNGKey(63), (256, 128), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(64), (3, 256), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(apply_linear(wd, x, rms=(g, eps))),
+        np.asarray(apply_linear(wd, rms_norm(x, g, eps))),
+        rtol=1e-5, atol=1e-5)
+
+
 def test_auto_block_out_prefers_wide_ragged():
     """ADVICE r3: the wide-ragged preference must be reachable from the
     AUTO-pick path — a dout with no wide divisor and a VMEM limit below dout

@@ -109,3 +109,33 @@ def make_eagle1_train_step(cfg_t: ModelConfig, ecfg: EagleConfig,
                           opt_state=opt_state, step=state.step + 1), metrics
 
     return jax.jit(step)
+
+
+def make_eagle1_train_step_offline(cfg_t: ModelConfig, ecfg: EagleConfig,
+                                   tc: TrainConfig, v_w: float = 1.0,
+                                   p_w: float = 0.1):
+    """Offline-features EAGLE-1 step (the reference's ORIGINAL training
+    mode: CustomDataset pre-dumped hidden states, train/main.py:133-172):
+    (state, params_t_ignored, *, input_ids, loss_mask, hidden) ->
+    (state, metrics) — no target forward in the step."""
+    opt = make_optimizer(tc)
+
+    def step(state: TrainState, params_t, *, input_ids, loss_mask, hidden):
+        del params_t
+        hidden = jax.lax.stop_gradient(hidden.astype(jnp.float32))
+        trainable, frozen = _split_trainable(state.params)
+
+        def loss_fn(trainable):
+            params = _merge(trainable, frozen)
+            return eagle1_loss(ecfg, params, hidden, input_ids, loss_mask,
+                               v_w, p_w)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        updates, opt_state = opt.update(grads, state.opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        metrics["loss"] = loss
+        return TrainState(params=_merge(trainable, frozen),
+                          opt_state=opt_state, step=state.step + 1), metrics
+
+    return jax.jit(step)

@@ -284,6 +284,50 @@ def make_train_step(cfg_t: ModelConfig, ecfg: EagleConfig, tc: TrainConfig,
     return jax.jit(step)
 
 
+def make_train_step_offline(cfg_t: ModelConfig, ecfg: EagleConfig,
+                            tc: TrainConfig, zero_mesh=None):
+    """Offline-features train step (ref CustomDataset mode,
+    train/main.py:133-172): consumes PRE-DUMPED target features + logits
+    (train/features.py) — NO target forward in the step. Signature matches
+    train_loop's dict-batch splat:
+    (state, params_t_ignored, *, input_ids, loss_mask, features,
+    target_logits) -> (state, metrics). Shifting is identical to the online
+    step so online/offline training trajectories agree given equal data."""
+    opt = make_optimizer(tc)
+
+    def step(state: TrainState, params_t, *, input_ids, loss_mask,
+             features, target_logits):
+        del params_t
+        if zero_mesh is not None:
+            state = state._replace(opt_state=jax.lax.with_sharding_constraint(
+                state.opt_state, zero_opt_shardings(state.opt_state,
+                                                    zero_mesh)))
+        logits = jax.lax.stop_gradient(target_logits)
+        feats = jax.lax.stop_gradient(features)
+        tgt = jnp.concatenate([logits[:, 1:], jnp.zeros_like(logits[:, :1])], 1)
+        ids = jnp.concatenate([input_ids[:, 1:],
+                               jnp.zeros_like(input_ids[:, :1])], 1)
+        trainable, frozen = _split_trainable(state.params)
+
+        def loss_fn(trainable):
+            params = _merge(trainable, frozen)
+            return multi_step_head_loss(ecfg, params, feats, tgt, ids,
+                                        loss_mask, tc.steps)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        updates, opt_state = opt.update(grads, state.opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        if zero_mesh is not None:
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, zero_opt_shardings(opt_state, zero_mesh))
+        metrics["loss"] = loss
+        return TrainState(params=_merge(trainable, frozen),
+                          opt_state=opt_state, step=state.step + 1), metrics
+
+    return jax.jit(step, static_argnames=())
+
+
 def save_checkpoint(path: str, state: TrainState):
     """Orbax checkpointing (replaces DeepSpeed save_16bit_model /
     save_checkpoint, traineagle3/main.py:345-347)."""

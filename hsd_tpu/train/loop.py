@@ -56,8 +56,11 @@ def train_loop(state: TrainState,
             if seen < start_step:       # replay-skip on resume
                 seen += 1
                 continue
-            ids, mask = batch
-            state, metrics = step_fn(state, params_target, ids, mask)
+            if isinstance(batch, dict):  # offline-features shards
+                state, metrics = step_fn(state, params_target, **batch)
+            else:
+                ids, mask = batch
+                state, metrics = step_fn(state, params_target, ids, mask)
             seen += 1
             if logger is not None and seen % log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
@@ -69,7 +72,10 @@ def train_loop(state: TrainState,
             for batch in data_epochs(epoch):
                 if nb >= probe_batches:
                     break
-                ids, mask = batch
+                if isinstance(batch, dict):
+                    ids, mask = batch["input_ids"], batch["loss_mask"]
+                else:
+                    ids, mask = batch
                 for k, v in epoch_probe(state.params, params_target, ids,
                                         mask).items():
                     agg[k] = agg.get(k, 0.0) + float(v)

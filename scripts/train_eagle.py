@@ -33,8 +33,9 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data", required=True,
-                    help="ShareGPT-style conversations jsonl/json")
+    ap.add_argument("--data", default=None,
+                    help="ShareGPT-style conversations jsonl/json "
+                         "(required unless --features-dir)")
     ap.add_argument("--version", type=int, default=3, choices=[1, 3])
     ap.add_argument("--target-path", default=None)
     ap.add_argument("--geometry", default="tiny")
@@ -63,6 +64,13 @@ def main():
                          "train/main.py:420-424)")
     ap.add_argument("--steps-per-epoch", type=int, default=0,
                     help="0 = full epoch; >0 truncates (smoke runs)")
+    ap.add_argument("--dump-features", default=None, metavar="DIR",
+                    help="run the target ONCE over the data, write feature "
+                         "shards to DIR (ref CustomDataset pre-dump, "
+                         "train/main.py:133-172), then exit")
+    ap.add_argument("--features-dir", default=None, metavar="DIR",
+                    help="train FROM a feature dump: no target forward in "
+                         "the step (--data is ignored)")
     args = ap.parse_args()
 
     from hsd_tpu.config import ModelConfig
@@ -106,16 +114,35 @@ def main():
     else:
         tok = ByteTokenizer()
 
-    buckets = tuple(int(b) for b in args.buckets.split(","))
-    kw = {"system": args.system} if args.system is not None else {}
-    de_full = conversation_data_epochs(
-        args.data, tok, args.batch_size, ChatTemplate(style=args.template),
-        max_len=args.max_len, buckets=buckets, **kw)
-    if args.steps_per_epoch:
-        import itertools
-        de = lambda e: itertools.islice(de_full(e), args.steps_per_epoch)
+    if args.features_dir:
+        from hsd_tpu.train.features import offline_data_epochs, offline_meta
+        meta = offline_meta(args.features_dir)
+        assert meta["version"] == args.version, (
+            f"feature dump is version {meta['version']}, "
+            f"requested --version {args.version}")
+        de = offline_data_epochs(args.features_dir)
     else:
-        de = de_full
+        assert args.data, "--data required unless --features-dir"
+        buckets = tuple(int(b) for b in args.buckets.split(","))
+        kw = {"system": args.system} if args.system is not None else {}
+        de_full = conversation_data_epochs(
+            args.data, tok, args.batch_size,
+            ChatTemplate(style=args.template),
+            max_len=args.max_len, buckets=buckets, **kw)
+        if args.steps_per_epoch:
+            import itertools
+            de = lambda e: itertools.islice(de_full(e), args.steps_per_epoch)
+        else:
+            de = de_full
+
+    if args.dump_features:
+        from hsd_tpu.train.features import dump_features
+        fl = (default_feature_layers(cfg_t) if args.version == 3 else None)
+        n = dump_features(cfg_t, params_t, de(0), args.dump_features,
+                          feature_layers=fl, version=args.version)
+        print(json.dumps({"dumped_shards": n, "dir": args.dump_features,
+                          "version": args.version}))
+        return
 
     # steps estimate for the warmup/decay schedule (first epoch's count)
     n_batches = sum(1 for _ in de(0))
@@ -135,10 +162,19 @@ def main():
     key = jax.random.PRNGKey(1)
     if args.version == 1:
         params_e = init_eagle_params_v1(ecfg, key)
-        step = make_eagle1_train_step(cfg_t, ecfg, tc)
+        if args.features_dir:
+            from hsd_tpu.train.eagle1 import make_eagle1_train_step_offline
+            step = make_eagle1_train_step_offline(cfg_t, ecfg, tc)
+        else:
+            step = make_eagle1_train_step(cfg_t, ecfg, tc)
     else:
         params_e = init_eagle_params(ecfg, key)
-        step = make_train_step(cfg_t, ecfg, tc, default_feature_layers(cfg_t))
+        if args.features_dir:
+            from hsd_tpu.train.eagle3 import make_train_step_offline
+            step = make_train_step_offline(cfg_t, ecfg, tc)
+        else:
+            step = make_train_step(cfg_t, ecfg, tc,
+                                   default_feature_layers(cfg_t))
     state = init_train_state(params_e, tc)
 
     probe = None

@@ -144,6 +144,91 @@ def test_eagle1_zero_sharded_step():
                                np.asarray(s2.params.fc), rtol=1e-4, atol=1e-5)
 
 
+def test_offline_features_step_matches_online(tmp_path):
+    """The CustomDataset mode (ref train/main.py:133-172): dumping target
+    features+logits once and training from the dump must produce the SAME
+    first-step update as the online step (identical shifting), modulo the
+    f16 shard round-trip."""
+    from hsd_tpu.engine.kvcache import init_cache
+    from hsd_tpu.models import transformer
+    from hsd_tpu.train.eagle3 import make_train_step_offline
+    from hsd_tpu.train.features import dump_features, offline_data_epochs
+
+    pt, state, step, ids, lm = _setup()
+    s1, m1 = step(state, pt, ids, lm)
+
+    d = str(tmp_path / "feats")
+    n = dump_features(TCFG, pt, [(ids, lm)], d,
+                      feature_layers=default_feature_layers(TCFG), version=3)
+    assert n == 1
+    batches = list(offline_data_epochs(d)(0))
+    assert len(batches) == 1
+    ostep = make_train_step_offline(TCFG, ECFG, TC)
+    s2, m2 = ostep(state, None, **batches[0])
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(s1.params.fc),
+                               np.asarray(s2.params.fc), rtol=2e-2, atol=1e-4)
+
+
+def test_offline_features_eagle1_step(tmp_path):
+    from hsd_tpu.train.eagle1 import (make_eagle1_train_step,
+                                      make_eagle1_train_step_offline)
+    from hsd_tpu.train.features import dump_features, offline_data_epochs
+
+    pt = init_params(TCFG, jax.random.PRNGKey(0))
+    pe = init_eagle_params(ECFG, jax.random.PRNGKey(1))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 64,
+                             dtype=jnp.int32)
+    lm = jnp.ones((2, 16), jnp.float32)
+    s1, m1 = make_eagle1_train_step(TCFG, ECFG, TC)(
+        init_train_state(pe, TC), pt, ids, lm)
+    d = str(tmp_path / "feats1")
+    dump_features(TCFG, pt, [(ids, lm)], d, version=1)
+    batch = next(iter(offline_data_epochs(d)(0)))
+    s2, m2 = make_eagle1_train_step_offline(TCFG, ECFG, TC)(
+        init_train_state(pe, TC), None, **batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-3)
+
+
+def test_train_eagle_cli_offline_roundtrip(tmp_path):
+    """scripts/train_eagle.py --dump-features then --features-dir runs both
+    head versions end-to-end without a target forward in the step."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    conv = tmp_path / "conv.jsonl"
+    rows = []
+    for i in range(4):
+        rows.append({"id": i, "conversations": [
+            {"from": "human", "value": f"question {i} about colors?"},
+            {"from": "gpt", "value": f"answer {i}: blue and green."}]})
+    conv.write_text("\n".join(_json.dumps(r) for r in rows))
+    env = dict(__import__("os").environ,
+               JAX_PLATFORMS="cpu")
+    base = [_sys.executable, "scripts/train_eagle.py", "--geometry", "tiny",
+            "--batch-size", "2", "--buckets", "256", "--system", "hi",
+            "--epochs", "1"]
+    for ver in ("3", "1"):
+        fdir = str(tmp_path / f"fd{ver}")
+        r = subprocess.run(base + ["--data", str(conv), "--version", ver,
+                                   "--dump-features", fdir],
+                           capture_output=True, text=True, env=env,
+                           cwd="/root/repo", timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = _json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["dumped_shards"] >= 1
+        r2 = subprocess.run(base + ["--version", ver,
+                                    "--features-dir", fdir],
+                            capture_output=True, text=True, env=env,
+                            cwd="/root/repo", timeout=600)
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        out2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+        assert out2["final_step"] >= 1
+
+
 def test_eagle1_loss_decreases():
     import dataclasses
     from hsd_tpu.models.eagle import init_eagle_params_v1

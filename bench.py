@@ -182,6 +182,157 @@ def _serving_row(params_d, params_t, n_slots=4, reqs=24, srv_max_new=48):
             "ratio": round(cont / lock, 3), "be": round(be, 3)}
 
 
+def _realistic_row(key):
+    """Trained-oracle-pair regime (eval/oracle.py; VERDICT r3 item 1): the
+    divergence fingerprint of a trained pair instead of smooth int8 noise.
+    Trains a 4L target + distills a 2L draft ON DEVICE, calibrates the
+    draft temperature to tokenwise BE ~5.99, and measures the
+    tokenwise/blockwise/hsd ladder. Full sweep + EAGLE ordering live in
+    scripts/bench_realistic.py; this row keeps the headline uplift
+    driver-visible."""
+    from hsd_tpu.eval.oracle import (distill_lm, make_language, ratio_stats,
+                                     sample_tokens, scale_draft_temperature,
+                                     train_lm)
+
+    V = 2048
+    cfg_t = ModelConfig.tiny(vocab_size=V, hidden_size=256,
+                             intermediate_size=512, num_layers=4,
+                             num_heads=4, num_kv_heads=2, dtype=jnp.float32,
+                             tie_word_embeddings=False, eos_token_id=V - 1)
+    cfg_d = ModelConfig.tiny(vocab_size=V, hidden_size=160,
+                             intermediate_size=320, num_layers=2,
+                             num_heads=4, num_kv_heads=2, dtype=jnp.float32,
+                             tie_word_embeddings=False, eos_token_id=V - 1)
+    lang = make_language(jax.random.fold_in(key, 31), vocab=V)
+    pt, tce = train_lm(cfg_t, jax.random.fold_in(key, 32), lang, steps=1800)
+    pd, dce = distill_lm(cfg_d, cfg_t, pt, jax.random.fold_in(key, 33),
+                         lang, steps=1800)
+    prompts = sample_tokens(jax.random.fold_in(key, 34), lang, 8, 64)
+
+    def gen_for(m):
+        return make_generate(cfg_d, cfg_t, EngineConfig(
+            verifier=VerifierConfig(method=m, gamma=GAMMA),
+            max_new_tokens=256))
+
+    def measure(gen, pdt, n, kseed):
+        per_prompt, toks, secs = [], 0, 0.0
+        r = gen(pdt, pt, prompts[0], jnp.int32(64),
+                jax.random.fold_in(key, 999))
+        int(r.ncommit)
+        for i in range(n):
+            t0 = time.perf_counter()
+            res = gen(pdt, pt, prompts[i % 8], jnp.int32(64),
+                      jax.random.fold_in(key, kseed + i))
+            nc = int(res.ncommit)
+            secs += time.perf_counter() - t0
+            toks += nc
+            a = np.asarray(res.accepts)[:int(res.blocks)]
+            if a.size:
+                per_prompt.append(float(np.mean(a + 1)))
+        be = float(np.mean(per_prompt))
+        ci = (1.96 * float(np.std(per_prompt, ddof=1))
+              / len(per_prompt) ** 0.5 if len(per_prompt) > 1 else 0.0)
+        return be, toks / secs, ci
+
+    # calibrate with the FINAL measurement protocol (8 prompts, seed 700):
+    # a 4-prompt probe stream landed 5.65 while the 8-prompt final read
+    # 4.88 (r4 smoke) — probe/final noise must not move the operating point
+    gen_tok = gen_for("tokenwise")
+    lo_t, hi_t, tau, cal = 1.0, 2.0, 1.0, []
+
+    N_FINAL = 24     # ~1000 blocks/method: uplift SE ~0.025 (the r3 "thin
+    #                  stats" critique applies doubly to a delta of ~0.05)
+
+    def probe(t, n=8):
+        b, tps, ci = measure(gen_tok, scale_draft_temperature(pd, cfg_d, t),
+                             n, 700)
+        cal.append((round(t, 3), round(b, 3)))
+        return b, tps, ci
+
+    be, tps, ci = probe(1.0)
+    if be > 5.99:
+        while be > 5.99 and hi_t < 6.0:
+            be, tps, ci = probe(hi_t)
+            if be > 5.99:
+                lo_t, hi_t = hi_t, hi_t * 1.4
+        for _ in range(4):
+            if abs(be - 5.99) < 0.15:
+                break
+            tau = 0.5 * (lo_t + hi_t)
+            be, tps, ci = probe(tau)
+            if be > 5.99:
+                lo_t = tau
+            else:
+                hi_t = tau
+        tau = cal[-1][0]
+    pdt = scale_draft_temperature(pd, cfg_d, tau)
+    rows = {}
+    for m in ("tokenwise", "blockwise", "hsd"):
+        b, tps, ci = measure(gen_for(m), pdt, N_FINAL, 700)
+        rows[m] = {"be": round(b, 3), "tok_s": round(tps, 1),
+                   "be_ci": round(ci, 3)}
+    be = rows["tokenwise"]["be"]
+    st = ratio_stats(cfg_d, cfg_t, pdt, pt, lang,
+                     jax.random.fold_in(key, 35), gamma=GAMMA)
+    return {
+        "rows": rows,
+        "uplift_hsd_vs_tokenwise": round(
+            rows["hsd"]["be"] / rows["tokenwise"]["be"], 4),
+        "uplift_blockwise_vs_tokenwise": round(
+            rows["blockwise"]["be"] / rows["tokenwise"]["be"], 4),
+        "reference_uplifts": {"hsd": 1.052, "blockwise": 1.023},
+        "tau": round(tau, 3), "cal": cal,
+        "alpha": st["alpha"], "frac_hard_disagree": st["frac_hard_disagree"],
+        "target_ce": round(tce, 3), "distill_ce": round(dce, 3),
+    }
+
+
+def _gsm8k_parity_row(key):
+    """Compact e2e answer-distribution parity through the REAL GSM8K
+    harness (VERDICT r3 item 10): tokenwise and HSD are both lossless, so
+    their first-digit answer laws must agree up to sampling noise
+    (the reference's Table-1 argument, README.md:90-119)."""
+    import collections
+    import re
+
+    from hsd_tpu.eval.gsm8k import ByteTokenizer, EvalConfig, run_eval
+    from hsd_tpu.models import init_params
+
+    cfg = ModelConfig.tiny(vocab_size=256, hidden_size=32,
+                           intermediate_size=64, num_layers=2, num_heads=4,
+                           num_kv_heads=2)
+    pd = init_params(cfg, jax.random.PRNGKey(0))
+    pt = pd._replace(embed=pd.embed * 1.3)
+    rows = [{"question": f"A box holds {3 + i} pears and gains {2 + i} "
+                         "more. How many pears are in the box?",
+             "answer": f"#### {5 + 2 * i}"}
+            for i in range(20)]
+    rows = [q for q in rows for _ in range(3)]
+    shots = ("Question: 1 plus 1?\nLet's think step by step\n"
+             "The answer is 2\n")
+    dists, accs = {}, {}
+    for m in ("tokenwise", "hsd"):
+        eng = EngineConfig(verifier=VerifierConfig(method=m, gamma=4),
+                           max_new_tokens=48)
+        ev = EvalConfig(engine=eng, out_dir="/tmp/bench_gsm8k", tag=m,
+                        seed=0)
+        summary = run_eval(cfg, cfg, pd, pt, ByteTokenizer(), rows, shots,
+                           ev)
+        c = collections.Counter()
+        for a in summary["model_answers"]:
+            mm = re.search(r"[0-9]", a or "")
+            c[mm.group(0) if mm else "none"] += 1
+        n = sum(c.values())
+        dists[m] = {k: v / n for k, v in c.items()}
+        accs[m] = summary.get("accuracy", 0.0)
+    keys = set(dists["tokenwise"]) | set(dists["hsd"])
+    tv = 0.5 * sum(abs(dists["tokenwise"].get(k, 0) - dists["hsd"].get(k, 0))
+                   for k in keys)
+    return {"answer_tv": round(tv, 3), "n_outputs": len(rows),
+            "tokenwise_acc": round(float(accs["tokenwise"]), 3),
+            "hsd_acc": round(float(accs["hsd"]), 3)}
+
+
 def main():
     key = jax.random.PRNGKey(0)
 
@@ -224,11 +375,16 @@ def main():
     print(f"[{time.time() - _T0:.0f}s] hsd done {results['hsd']}", flush=True)
     if K11 and time.time() - _T0 < BUDGET_S:
         for m in ("hsd", "tokenwise"):
+            # full prompt count when the budget allows (r3 used ~3 prompts
+            # and reported no CI — VERDICT r3 item 9); the CI always rides
+            # into the context either way
+            n_k11 = (N_PROMPTS if time.time() - _T0 < BUDGET_S * 0.6
+                     else max(N_PROMPTS // 3, 2))
             results[f"{m}_k11"] = run(spec_gen(m, K=11), draft, target,
                                       jax.random.fold_in(key, 3),
-                                      n_prompts=max(N_PROMPTS // 3, 2))
+                                      n_prompts=n_k11)
             print(f"[{time.time() - _T0:.0f}s] {m} K=11 done "
-                  f"{results[f'{m}_k11']}", flush=True)
+                  f"{results[f'{m}_k11']} n={n_k11}", flush=True)
             if time.time() - _T0 > BUDGET_S + 600:
                 break
 
@@ -243,6 +399,28 @@ def main():
             print(f"[{time.time() - _T0:.0f}s] serving {serving}", flush=True)
         except Exception as e:                        # noqa: BLE001
             print(f"serving row skipped: {type(e).__name__}: {e}",
+                  flush=True)
+
+    # realistic-divergence regime (trained oracle pair) + e2e gsm8k parity,
+    # both budget-guarded and failure-isolated from the headline
+    realistic = parity = None
+    if time.time() - _T0 < BUDGET_S + 300 and bool(int(
+            os.environ.get("BENCH_REALISTIC", "1"))):
+        try:
+            realistic = _realistic_row(jax.random.fold_in(key, 40))
+            print(f"[{time.time() - _T0:.0f}s] realistic {realistic}",
+                  flush=True)
+        except Exception as e:                        # noqa: BLE001
+            print(f"realistic row skipped: {type(e).__name__}: {e}",
+                  flush=True)
+    if time.time() - _T0 < BUDGET_S + 600 and bool(int(
+            os.environ.get("BENCH_PARITY", "1"))):
+        try:
+            parity = _gsm8k_parity_row(jax.random.fold_in(key, 41))
+            print(f"[{time.time() - _T0:.0f}s] gsm8k_parity {parity}",
+                  flush=True)
+        except Exception as e:                        # noqa: BLE001
+            print(f"gsm8k parity row skipped: {type(e).__name__}: {e}",
                   flush=True)
 
     # AR baseline of the SAME coupled target (one full 14B forward per token)
@@ -279,9 +457,14 @@ def main():
     for m in ("hsd", "tokenwise"):
         if f"{m}_k11" in results:
             ctx[f"{m}_k11"] = {"be": round(results[f"{m}_k11"][0], 3),
-                               "tok_s": round(results[f"{m}_k11"][1], 1)}
+                               "tok_s": round(results[f"{m}_k11"][1], 1),
+                               "be_ci": round(results[f"{m}_k11"][2], 3)}
     if serving is not None:
         ctx["serving_0p5b"] = serving
+    if realistic is not None:
+        ctx["realistic"] = realistic
+    if parity is not None:
+        ctx["gsm8k_parity"] = parity
     print(json.dumps({
         "metric": "block_efficiency_hsd",
         "value": round(be_hsd, 3),

@@ -147,8 +147,12 @@ def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
     hf = (b >> 4).astype(jnp.float32).reshape(gpb, gs_p, out_blk)
     wl = (lf * sl[:, None, :]).reshape(in_p, out_blk)        # lo*s_lo
     wh = (hf * sh[:, None, :]).reshape(in_p, out_blk)        # hi*s_hi
-    acc_ref[:] += (jnp.dot(xe_ref[:], wl, preferred_element_type=jnp.float32)
-                   + jnp.dot(xm_ref[:], wh,
+    # x planes may arrive bf16 (npad >= 32: activation tiles re-stream per
+    # out-block and their DMA rivals the weight stream at verify-forward
+    # row counts — gptq_matmul xdt); convert at use
+    acc_ref[:] += (jnp.dot(xe_ref[:].astype(jnp.float32), wl,
+                           preferred_element_type=jnp.float32)
+                   + jnp.dot(xm_ref[:].astype(jnp.float32), wh,
                              preferred_element_type=jnp.float32))
 
     @pl.when(i == n_in_blocks - 1)
@@ -184,8 +188,8 @@ def _kernel_int4_ln(xf_ref, ln_ref, xe_ref, xm_ref, w_ref, s_ref, o_ref,
     xf = xf_ref[:]
     r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
     ln2 = ln_ref[:]                                           # [2, in_p]
-    xe = xe_ref[:] * r * ln2[0][None, :]
-    xo = xm_ref[:] * r * ln2[1][None, :]
+    xe = xe_ref[:].astype(jnp.float32) * r * ln2[0][None, :]
+    xo = xm_ref[:].astype(jnp.float32) * r * ln2[1][None, :]
     acc_ref[:] += (jnp.dot(xe, wl, preferred_element_type=jnp.float32)
                    + jnp.dot(xo, wh, preferred_element_type=jnp.float32))
     npad = xe.shape[0]
@@ -370,6 +374,11 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
         # rows. Scales split into the lo/hi plane groups and reshape to
         # [2, n_in_blocks, gpb, out] so the BlockSpec selects plane +
         # in-block with no dynamic slicing.
+        # plane dtype stays f32 at every row count: bf16 planes at npad=128
+        # were A/B-tested against the K=11 verify forward and measured NO
+        # change (32.0 vs 32.7 ms, within noise) — the x-tile DMA is not
+        # the scaling term there (docs/BENCHMARKS.md K=11 section); f32
+        # also measured best in the batch-1 decode regime (r2)
         xe = x2[:, :rows].astype(jnp.float32)
         xo = x2[:, rows:].astype(jnp.float32)
         g2 = groups // 2

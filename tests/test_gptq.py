@@ -111,6 +111,28 @@ def test_int4_pallas_multiblock_interpret():
                                rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_int4_wide_rows_bf16_planes(symmetric):
+    """npad >= 32 routes the packed activation planes through bf16 (the
+    K=11 verify-forward traffic fix); parity holds at bf16 tolerance."""
+    w, qw, _ = _mk(jax.random.PRNGKey(70), din=512, dout=384, bits=4,
+                   symmetric=symmetric)
+    x = jax.random.normal(jax.random.PRNGKey(71), (40, 512), jnp.float32)
+    want = x @ dequantize(qw, jnp.float32)
+    got = gptq_matmul(x, qw, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    # fused-norm variant at wide rows
+    if symmetric:
+        g = jnp.abs(jax.random.normal(jax.random.PRNGKey(72), (512,))) + 0.5
+        xf = x.astype(jnp.float32)
+        xn = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + 1e-6) * g
+        want2 = xn @ dequantize(qw, jnp.float32)
+        got2 = gptq_matmul(x, qw, interpret=True, ln=g, ln_eps=1e-6)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                                   rtol=2e-2, atol=2e-2)
+
+
 def test_int4_apply_linear_dispatch():
     w, qw, x = _mk(jax.random.PRNGKey(9), bits=4)
     got = apply_linear(qw, x)

@@ -168,6 +168,38 @@ def init_eagle_params_v1(cfg: EagleConfig, key: jax.Array,
     )
 
 
+def quantize_eagle_params(params: EagleParams, bits: int = 8,
+                          group_size: int = 128) -> EagleParams:
+    """Weight-only quantize the draft head's matmuls (symmetric GPTQ layout,
+    ops/linear.quantize) so the beam rides the Pallas int8/int4 kernels.
+
+    The EAGLE beam is HBM-bound on its own weight stream: at 8B geometry the
+    absorb + 6 level forwards re-read ~5.8 GB of bf16 head weights per
+    block, measured 7.1 ms of the 7.4 ms build_trie cost
+    (docs/BENCHMARKS.md r4) — the trie bookkeeping is 0.27 ms. int8 halves
+    the stream. LOSSLESS BY CONSTRUCTION: the head only PROPOSES (its
+    deterministic top-k becomes the trie's one-hot q); the target-side
+    verification reconstructs the target distribution no matter how the
+    proposals were produced, so quantizing the head can change acceptance
+    RATES only, never the output law. The reference has no counterpart (its
+    head runs bf16; SURVEY §2.6 — the kernels exist only on our side).
+    embed / norms / d2t / t2d stay dense."""
+    import math
+
+    from ..ops.linear import quantize as _q
+
+    def qz(w):
+        gs = math.gcd(w.shape[0], group_size)   # tiny test geometries
+        return _q(jnp.asarray(w, jnp.float32), bits=bits,
+                  group_size=gs, symmetric=True)
+
+    return params._replace(
+        fc=qz(params.fc), wq=qz(params.wq), wk=qz(params.wk),
+        wv=qz(params.wv), wo=qz(params.wo), wgate=qz(params.wgate),
+        wup=qz(params.wup), wdown=qz(params.wdown),
+        lm_head=qz(params.lm_head))
+
+
 def _rms(x, w, eps):
     xf = x.astype(jnp.float32)
     return (xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + eps)

@@ -137,6 +137,29 @@ def test_eagle_greedy_equals_ar_greedy(models):
                                   np.asarray(t_ar)[8:n])
 
 
+def test_eagle_quantized_head_greedy_equals_ar(models):
+    """int8-quantizing the draft head (models/eagle.quantize_eagle_params)
+    changes PROPOSALS only — greedy EAGLE must still reproduce the target's
+    greedy chain exactly (the losslessness-by-construction argument: the
+    verifier reconstructs the target law regardless of how proposals were
+    made)."""
+    from hsd_tpu.models.eagle import quantize_eagle_params
+    pt, pe = models
+    peq = quantize_eagle_params(pe, bits=8)
+    from hsd_tpu.ops.linear import QuantizedLinear
+    assert isinstance(peq.lm_head, QuantizedLinear)
+    prompt = (jnp.arange(8, dtype=jnp.int32) % 50) + 1
+    eng = EngineConfig(max_new_tokens=12, temperature=0.0)
+    gen = make_eagle_generate(TCFG, ECFG, eng, mode="greedy")
+    res = gen(pt, peq, prompt, jnp.int32(8), jax.random.PRNGKey(5))
+    ar = make_autoregressive(TCFG, eng)
+    t_ar, l_ar = ar(pt, prompt, jnp.int32(8), jax.random.PRNGKey(6))
+    n = min(int(res.length), int(l_ar))
+    assert n > 8
+    np.testing.assert_array_equal(np.asarray(res.tokens)[8:n],
+                                  np.asarray(t_ar)[8:n])
+
+
 @pytest.mark.parametrize("mode", ["typical", "hsd"])
 def test_eagle_generate_smoke(models, mode):
     pt, pe = models

@@ -4,7 +4,9 @@ from .kvcache import (KVCache, compact_path, init_cache, rollback,
 from .speculative import (GenerateResult, make_autoregressive, make_generate,
                           make_generate_batched)
 from .stepwise import make_recursive_generate, make_stepwise_generate
-from .eagle_engine import EagleGenerateResult, make_eagle_generate
+from .eagle_engine import (EagleGenerateResult, make_eagle_block,
+                           make_eagle_generate)
+from .eagle_server import EagleSlotEngine
 
 __all__ = ["KVCache", "compact_path", "init_cache", "rollback",
            "select_draft_row", "GenerateResult", "make_autoregressive",

@@ -80,21 +80,22 @@ def autotune_total_tokens(cfg_t: ModelConfig, ecfg: EagleConfig,
     return best, stats
 
 
-def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
-                        engine: EngineConfig, mode: str = "hsd",
-                        target_forward=None, static_tree=None):
-    """Build jitted `generate(params_target, eagle_params, prompt, prompt_len,
-    key)` for mode in {'greedy', 'typical', 'hsd'}.
+def make_eagle_block(cfg_t: ModelConfig, ecfg: EagleConfig,
+                     engine: EngineConfig, mode: str = "hsd",
+                     target_forward=None, static_tree=None):
+    """Factory for the REUSABLE single-slot pieces of the eagenerate loop:
+    returns `(prefill, block)` closures shared by `make_eagle_generate`
+    (while_loop around `block`) and the continuous-batching
+    `engine.eagle_server.EagleSlotEngine` (vmapped `block` per pool step).
 
-    target_forward: optional `(params, tokens, cache, attn_bias, positions)
-    -> (logits, cache, feats)` override — e.g.
-    `parallel.tp.make_tp_eagle_forward(cfg_t, params_t, feature_layers)` to
-    run the base model on local Megatron shards (Pallas kernels) while the
-    draft head stays replicated.
-    static_tree: optional `models.choices.StaticTree` — draft a FIXED choice
-    tree (the reference's legacy EAGLE-1 path, choices.py + generate_tree_
-    buffers, utils.py:90-208) instead of the dynamic beam trie; shape params
-    of `ecfg` must match (`choices.eagle_config_for_tree`)."""
+    prefill(params_t, params_e, prompt [P], prompt_len, key)
+        -> (tokens [S], length, tcache, ekv, feat_buf, key')
+    block(params_t, params_e, tokens, length, tcache, ekv, feat_buf, kb)
+        -> (tokens, new_length, acc_len, path_len, hit_eos,
+            tcache, ekv, feat_buf)
+    with S = P + max_new_tokens + total_tokens + 2 (static from shapes) and
+    kb the PER-BLOCK key (the generate loop derives it as
+    fold_in(key', blocks+1) — key discipline preserved bit-for-bit)."""
     N = ecfg.total_tokens
     depth = ecfg.depth
     if static_tree is not None:
@@ -118,21 +119,16 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
             cfg_t, p, t, c, attn_bias=ab, positions=pos,
             feature_layers=feat_layers))
 
-    def generate(params_t, params_e: EagleParams, prompt: jax.Array,
-                 prompt_len: jax.Array, key: jax.Array) -> EagleGenerateResult:
+    def prefill(params_t, params_e: EagleParams, prompt: jax.Array,
+                prompt_len: jax.Array, key: jax.Array):
         P = prompt.shape[0]
         S = P + max_new + N + 2
         start = jnp.broadcast_to(P - prompt_len, (1,)).astype(jnp.int32)
         tcache = init_cache(cfg_t, 1, S)._replace(start=start)
-        # head KV needs S pair slots + the per-block trie scratch region
-        # (beam: depth*top_k slots; static tree: one slot per node)
         scratch = max(depth * ecfg.top_k, N) + T_abs
         ekv = init_eagle_kv(ecfg, 1, S + scratch)
         ekv = ekv._replace(start=start[0])
 
-        # ---- prefill target over the prompt; collect features -------------
-        # zero bias + explicit positions keep the override signature uniform
-        # (a zero additive bias on the appended block is the identity)
         pos0 = jnp.maximum(jnp.arange(P, dtype=jnp.int32)[None, :]
                            - start[:, None], 0)
         logits, tcache, feats = tfwd(
@@ -145,14 +141,9 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
         root = sample(k0, p0).astype(jnp.int32)
 
         tokens = jnp.zeros((S,), jnp.int32).at[:P].set(prompt).at[P].set(root)
-        length = jnp.int32(P + 1)   # committed incl. the sampled root
-        # target cache currently holds P entries (prompt); the root token is
-        # consumed by the next tree forward (col 0 of the trie).
+        length = jnp.int32(P + 1)
 
-        # ---- head prefill absorb: pairs (feature_j, token_{j+1}) ----------
-        # Pair j = (feat[j], tokens[j+1]); head KV slot j <-> pair j. Absorb
-        # pairs 0..P-2 once here (static prompt bucket); each block then only
-        # (re)feeds the last T_abs pairs (idempotent rewrites).
+        # head prefill absorb: pairs (feature_j, token_{j+1})
         from ..models.eagle import head_forward
         from ..ops.linear import apply_linear as _lin
         femb = jnp.take(params_e.embed, tokens[1:P], axis=0)[None]
@@ -163,30 +154,130 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
         ppos = (jnp.arange(P - 1) - ekv.start)[None, :]
         _, ekv = head_forward(ecfg, params_e, femb.astype(ecfg.dtype), ffeat,
                               ekv, ppos)
+        return tokens, length, tcache, ekv, feat_buf, key
+
+    def absorb_window(params_e, ekv, feat_buf, tokens, upto):
+        """Re-feed the last T_abs (feature, token) pairs so the head KV
+        holds pairs 0..upto-1 (the reference's stable_kv catch-up,
+        cnets.py:690-696, with fixed window)."""
+        S = tokens.shape[0]
+        s0 = jnp.maximum(upto - T_abs, 0)
+        idx = s0 + jnp.arange(T_abs)
+        fwin = jnp.take(feat_buf, jnp.clip(idx, 0, S - 1), axis=0)
+        twin = jnp.take(tokens, jnp.clip(idx + 1, 0, S - 1), axis=0)
+        ekv = ekv._replace(length=s0)
+        root = tokens[jnp.clip(idx[-1] + 1, 0, S - 1)]
+        if static_tree is not None:
+            from ..models.choices import build_static_trie
+            trie, ekv = build_static_trie(
+                ecfg, params_e, fwin[None], twin[None], ekv, s0, root,
+                static_tree)
+        else:
+            trie, ekv = build_trie(
+                ecfg, params_e, fwin[None], twin[None], ekv, s0, root)
+        return trie, ekv
+
+    def block(params_t, params_e: EagleParams, tokens, length, tcache, ekv,
+              feat_buf, kb):
+        S = tokens.shape[0]
+        k1, k2 = jax.random.split(kb)
+
+        # 1) trie draft: absorb latest pairs, beam out the tree
+        trie, ekv = absorb_window(params_e, ekv, feat_buf, tokens, length - 1)
+
+        # 2) tree-masked target forward over the trie block
+        bias = jnp.where(trie.tree_mask, 0.0, -1e30).astype(jnp.float32)
+        base = tcache.length
+        pos = (trie.position_ids + length - 1 - tcache.start[0])[None, :]
+        tlogits, tcache, tfeats = tfwd(
+            params_t, trie.draft_tokens[None], tcache, bias, pos)
+        probs = temp(tlogits[0])          # [N+1, V]
+
+        # 3) per-path probability rows + verification
+        ri = trie.retrieve_indices                        # [N+1, Lpath]
+        cand = jnp.where(ri >= 0,
+                         jnp.take(trie.draft_tokens,
+                                  jnp.clip(ri, 0, N), axis=0), -1)
+        # (probs, ri) tuple layout: the verifiers gather per-node rows
+        # on demand instead of materializing the [R, Lpath, V] path
+        # duplicate (~8x the node probabilities; verify/trie._paths_view)
+        p_paths = (probs, ri)
+        if mode == "greedy":
+            best, acc_len, sample_p = verify_trie_greedy(cand, p_paths)
+        elif mode == "typical":
+            best, acc_len, sample_p = verify_trie_typical(k1, cand, p_paths)
+        elif mode == "hsd_ref":
+            # committed-reference frontier (raw window product, EAGLE
+            # utils.py:585) — accepts more, measurably biased
+            # (docs/LOSSLESSNESS.md)
+            best, acc_len, sample_p = verify_trie_hsd(
+                k1, cand, p_paths, frontier="raw")
+        else:
+            best, acc_len, sample_p = verify_trie_hsd(k1, cand, p_paths)
+
+        # 4) commit accepted path + sampled next token
+        path = cand[best]                                 # [Lpath]
+        ncommit = acc_len + 1                             # path tokens used
+        posn = jnp.arange(S)
+        src = jnp.take(path, jnp.clip(posn - (length - 1), 0, Lpath - 1))
+        write = (posn >= length) & (posn < length - 1 + ncommit)
+        tokens = jnp.where(write, src, tokens)
+        nxt = sample(k2, sample_p).astype(jnp.int32)
+        new_length = length - 1 + ncommit + 1
+        tokens = tokens.at[jnp.clip(new_length - 1, 0, S - 1)].set(nxt)
+
+        # 5) target KV compaction to the accepted path
+        sel = jnp.where(jnp.arange(Lpath) < ncommit,
+                        jnp.clip(trie.retrieve_indices[best], 0, N), -1)
+        tcache = compact_path(tcache, sel, ncommit, base)
+
+        # 6) scatter accepted features into the ring buffer
+        fsel = jnp.take(tfeats[0], jnp.clip(sel, 0, N), axis=0)
+        fbase = length - 1
+        fwrite = (posn >= fbase) & (posn < fbase + ncommit)
+        fsrc = jnp.take(fsel, jnp.clip(posn - fbase, 0, Lpath - 1), axis=0)
+        feat_buf = jnp.where(fwrite[:, None], fsrc.astype(feat_buf.dtype),
+                             feat_buf)
+
+        hit_eos = jnp.any(write & (tokens == eos)) | (nxt == eos)
+        return (tokens, new_length, acc_len, trie.path_len[best], hit_eos,
+                tcache, ekv, feat_buf)
+
+    return prefill, block
+
+
+def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
+                        engine: EngineConfig, mode: str = "hsd",
+                        target_forward=None, static_tree=None):
+    """Build jitted `generate(params_target, eagle_params, prompt, prompt_len,
+    key)` for mode in {'greedy', 'typical', 'hsd'}.
+
+    target_forward: optional `(params, tokens, cache, attn_bias, positions)
+    -> (logits, cache, feats)` override — e.g.
+    `parallel.tp.make_tp_eagle_forward(cfg_t, params_t, feature_layers)` to
+    run the base model on local Megatron shards (Pallas kernels) while the
+    draft head stays replicated.
+    static_tree: optional `models.choices.StaticTree` — draft a FIXED choice
+    tree (the reference's legacy EAGLE-1 path, choices.py + generate_tree_
+    buffers, utils.py:90-208) instead of the dynamic beam trie; shape params
+    of `ecfg` must match (`choices.eagle_config_for_tree`)."""
+    N = ecfg.total_tokens
+    max_new = engine.max_new_tokens
+    eos = cfg_t.eos_token_id
+    prefill_fn, block_fn = make_eagle_block(
+        cfg_t, ecfg, engine, mode=mode, target_forward=target_forward,
+        static_tree=static_tree)
+
+    def generate(params_t, params_e: EagleParams, prompt: jax.Array,
+                 prompt_len: jax.Array, key: jax.Array) -> EagleGenerateResult:
+        P = prompt.shape[0]
+        S = P + max_new + N + 2
+        tokens, length, tcache, ekv, feat_buf, key = prefill_fn(
+            params_t, params_e, prompt, prompt_len, key)
 
         accepts = jnp.full((max_new,), -1, jnp.int32)
         dlens = jnp.full((max_new,), -1, jnp.int32)
         plens = jnp.full((max_new,), -1, jnp.int32)
-
-        def absorb_window(ekv, feat_buf, tokens, upto):
-            """Re-feed the last T_abs (feature, token) pairs so the head KV
-            holds pairs 0..upto-1 (the reference's stable_kv catch-up,
-            cnets.py:690-696, with fixed window)."""
-            s0 = jnp.maximum(upto - T_abs, 0)
-            idx = s0 + jnp.arange(T_abs)
-            fwin = jnp.take(feat_buf, jnp.clip(idx, 0, S - 1), axis=0)
-            twin = jnp.take(tokens, jnp.clip(idx + 1, 0, S - 1), axis=0)
-            ekv = ekv._replace(length=s0)
-            root = tokens[jnp.clip(idx[-1] + 1, 0, S - 1)]
-            if static_tree is not None:
-                from ..models.choices import build_static_trie
-                trie, ekv = build_static_trie(
-                    ecfg, params_e, fwin[None], twin[None], ekv, s0, root,
-                    static_tree)
-            else:
-                trie, ekv = build_trie(
-                    ecfg, params_e, fwin[None], twin[None], ekv, s0, root)
-            return trie, ekv
 
         def cond(state):
             (_, length, done, _, _, _, _, _, _, blocks) = state
@@ -197,70 +288,13 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
             (tokens, length, done, tcache, ekv, feat_buf, accepts, dlens,
              plens, blocks) = state
             kb = jax.random.fold_in(key, blocks + 1)
-            k1, k2 = jax.random.split(kb)
-
-            # 1) trie draft: absorb latest pairs, beam out the tree
-            trie, ekv = absorb_window(ekv, feat_buf, tokens, length - 1)
-
-            # 2) tree-masked target forward over the trie block
-            bias = jnp.where(trie.tree_mask, 0.0, -1e30).astype(jnp.float32)
-            base = tcache.length
-            pos = (trie.position_ids + length - 1 - tcache.start[0])[None, :]
-            tlogits, tcache, tfeats = tfwd(
-                params_t, trie.draft_tokens[None], tcache, bias, pos)
-            probs = temp(tlogits[0])          # [N+1, V]
-
-            # 3) per-path probability rows + verification
-            ri = trie.retrieve_indices                        # [N+1, Lpath]
-            cand = jnp.where(ri >= 0,
-                             jnp.take(trie.draft_tokens,
-                                      jnp.clip(ri, 0, N), axis=0), -1)
-            # (probs, ri) tuple layout: the verifiers gather per-node rows
-            # on demand instead of materializing the [R, Lpath, V] path
-            # duplicate (~8x the node probabilities; verify/trie._paths_view)
-            p_paths = (probs, ri)
-            if mode == "greedy":
-                best, acc_len, sample_p = verify_trie_greedy(cand, p_paths)
-            elif mode == "typical":
-                best, acc_len, sample_p = verify_trie_typical(k1, cand, p_paths)
-            elif mode == "hsd_ref":
-                # committed-reference frontier (raw window product, EAGLE
-                # utils.py:585) — accepts more, measurably biased
-                # (docs/LOSSLESSNESS.md)
-                best, acc_len, sample_p = verify_trie_hsd(
-                    k1, cand, p_paths, frontier="raw")
-            else:
-                best, acc_len, sample_p = verify_trie_hsd(k1, cand, p_paths)
-
-            # 4) commit accepted path + sampled next token
-            path = cand[best]                                 # [Lpath]
-            ncommit = acc_len + 1                             # path tokens used
-            posn = jnp.arange(S)
-            src = jnp.take(path, jnp.clip(posn - (length - 1), 0, Lpath - 1))
-            write = (posn >= length) & (posn < length - 1 + ncommit)
-            tokens = jnp.where(write, src, tokens)
-            nxt = sample(k2, sample_p).astype(jnp.int32)
-            new_length = length - 1 + ncommit + 1
-            tokens = tokens.at[jnp.clip(new_length - 1, 0, S - 1)].set(nxt)
-
-            # 5) target KV compaction to the accepted path
-            sel = jnp.where(jnp.arange(Lpath) < ncommit,
-                            jnp.clip(trie.retrieve_indices[best], 0, N), -1)
-            tcache = compact_path(tcache, sel, ncommit, base)
-
-            # 6) scatter accepted features into the ring buffer
-            fsel = jnp.take(tfeats[0], jnp.clip(sel, 0, N), axis=0)
-            fbase = length - 1
-            fwrite = (posn >= fbase) & (posn < fbase + ncommit)
-            fsrc = jnp.take(fsel, jnp.clip(posn - fbase, 0, Lpath - 1), axis=0)
-            feat_buf = jnp.where(fwrite[:, None], fsrc.astype(feat_buf.dtype),
-                                 feat_buf)
-
-            hit_eos = jnp.any(write & (tokens == eos)) | (nxt == eos)
+            (tokens, new_length, acc_len, plen, hit_eos, tcache, ekv,
+             feat_buf) = block_fn(params_t, params_e, tokens, length, tcache,
+                                  ekv, feat_buf, kb)
             done = done | hit_eos
             accepts = accepts.at[blocks].set(acc_len)
             dlens = dlens.at[blocks].set(N)
-            plens = plens.at[blocks].set(trie.path_len[best])
+            plens = plens.at[blocks].set(plen)
             return (tokens, new_length, done, tcache, ekv, feat_buf, accepts,
                     dlens, plens, blocks + 1)
 

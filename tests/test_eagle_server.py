@@ -1,0 +1,98 @@
+"""EAGLE continuous batching (engine/eagle_server.EagleSlotEngine).
+
+The strongest slot-level invariant: greedy EAGLE reproduces the TARGET's
+greedy chain exactly regardless of head quality, key streams, or slot
+scheduling — so every harvested request in greedy mode must equal the AR
+greedy continuation of its own prompt, even with interleaved admissions
+and heterogeneous budgets."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hsd_tpu.config import EngineConfig, ModelConfig, VerifierConfig
+from hsd_tpu.engine import make_autoregressive
+from hsd_tpu.engine.eagle_server import EagleSlotEngine
+from hsd_tpu.models import init_params
+from hsd_tpu.models.eagle import EagleConfig, init_eagle_params
+
+TCFG = ModelConfig.tiny(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_layers=2, num_heads=4, num_kv_heads=2,
+                        dtype=jnp.float32)
+ECFG = EagleConfig(hidden_size=32, target_hidden_size=32, num_heads=4,
+                   num_kv_heads=2, vocab_size=64, draft_vocab_size=64,
+                   intermediate_size=64, top_k=4, depth=3, total_tokens=11,
+                   dtype=jnp.float32, rope_theta=TCFG.rope_theta)
+
+
+@pytest.fixture(scope="module")
+def models():
+    pt = init_params(TCFG, jax.random.PRNGKey(0))
+    pe = init_eagle_params(ECFG, jax.random.PRNGKey(1))
+    return pt, pe
+
+
+def _prompts():
+    return [list(range(3 + i, 11 + i)) for i in range(6)]
+
+
+def test_eagle_server_greedy_matches_ar(models):
+    pt, pe = models
+    eng = EngineConfig(max_new_tokens=10, temperature=0.0)
+    se = EagleSlotEngine(TCFG, ECFG, eng, n_slots=2, bucket=16,
+                        params_t=pt, params_e=pe, mode="greedy", seed=3)
+    budgets = [10, 4, 7, 10, 5, 10]
+    for rid, (p, mn) in enumerate(zip(_prompts(), budgets)):
+        se.submit(rid, p, max_new=mn)
+    done = se.run_all()
+    assert sorted(r.rid for r in done) == list(range(6))
+
+    ar = make_autoregressive(TCFG, EngineConfig(max_new_tokens=12,
+                                                temperature=0.0))
+    for r in done:
+        prompt = _prompts()[r.rid]
+        padded = jnp.asarray([0] * (16 - len(prompt)) + prompt, jnp.int32)
+        t_ar, l_ar = ar(pt, padded, jnp.int32(len(prompt)),
+                        jax.random.PRNGKey(9))
+        want = np.asarray(t_ar)[16:int(l_ar)]
+        got = np.asarray(r.out_tokens)
+        n = min(len(got), len(want), budgets[r.rid])
+        assert n >= 1
+        np.testing.assert_array_equal(got[:n], want[:n],
+                                      err_msg=f"rid {r.rid}")
+        # budget respected
+        assert len(got) <= budgets[r.rid]
+
+
+def test_eagle_server_hsd_smoke_and_stats(models):
+    pt, pe = models
+    eng = EngineConfig(max_new_tokens=8, temperature=1.0)
+    se = EagleSlotEngine(TCFG, ECFG, eng, n_slots=2, bucket=16,
+                        params_t=pt, params_e=pe, mode="hsd", seed=0)
+    for rid, p in enumerate(_prompts()[:4]):
+        se.submit(rid, p, max_new=8)
+    done = se.run_all()
+    assert sorted(r.rid for r in done) == list(range(4))
+    for r in done:
+        assert 1 <= len(r.out_tokens) <= 8
+        assert r.blocks >= 1
+    st = se.stats()
+    assert st["block_efficiency"] >= 1.0
+    assert st["committed"] == sum(len(r.out_tokens) for r in done)
+
+
+def test_eagle_server_late_submission(models):
+    """Requests submitted while the pool is mid-flight are admitted into
+    freed slots and complete."""
+    pt, pe = models
+    eng = EngineConfig(max_new_tokens=6, temperature=1.0)
+    se = EagleSlotEngine(TCFG, ECFG, eng, n_slots=2, bucket=16,
+                        params_t=pt, params_e=pe, mode="hsd", seed=1)
+    se.submit(0, _prompts()[0], max_new=6)
+    se.submit(1, _prompts()[1], max_new=2)
+    out = []
+    for _ in range(4):
+        out.extend(se.step())
+    se.submit(2, _prompts()[2], max_new=3)
+    out.extend(se.run_all())
+    assert sorted(r.rid for r in out) == [0, 1, 2]

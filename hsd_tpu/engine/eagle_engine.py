@@ -27,7 +27,7 @@ from ..models.eagle import (EagleConfig, EagleParams, Trie, build_trie,
 from ..ops.sampling import process_logits, processor, sample
 from ..verify.trie import (verify_trie_greedy, verify_trie_hsd,
                            verify_trie_typical)
-from .kvcache import compact_path, init_cache
+from .kvcache import compact_path, compact_path_batched, init_cache
 
 
 class EagleGenerateResult(NamedTuple):
@@ -84,9 +84,11 @@ def make_eagle_block(cfg_t: ModelConfig, ecfg: EagleConfig,
                      engine: EngineConfig, mode: str = "hsd",
                      target_forward=None, static_tree=None):
     """Factory for the REUSABLE single-slot pieces of the eagenerate loop:
-    returns `(prefill, block)` closures shared by `make_eagle_generate`
-    (while_loop around `block`) and the continuous-batching
-    `engine.eagle_server.EagleSlotEngine` (vmapped `block` per pool step).
+    returns `(prefill, block, absorb_window, commit)` closures shared by
+    `make_eagle_generate` (while_loop around `block`), the continuous-
+    batching `engine.eagle_server.EagleSlotEngine` (vmapped `block` per
+    pool step), and `make_eagle_pool` (vmapped absorb/commit around ONE
+    slot-batched target forward).
 
     prefill(params_t, params_e, prompt [P], prompt_len, key)
         -> (tokens [S], length, tcache, ekv, feat_buf, key')
@@ -177,22 +179,13 @@ def make_eagle_block(cfg_t: ModelConfig, ecfg: EagleConfig,
                 ecfg, params_e, fwin[None], twin[None], ekv, s0, root)
         return trie, ekv
 
-    def block(params_t, params_e: EagleParams, tokens, length, tcache, ekv,
-              feat_buf, kb):
+    def commit(trie, probs, tfeats, tokens, length, k1, k2, feat_buf):
+        """Steps 3/4/6 of the block for ONE slot: verify the trie against
+        `probs` [N+1, V], commit the accepted path + sampled next token into
+        `tokens`/`feat_buf`, and return the compaction selector. Shared by
+        the single-slot block (below) and the slot-batched pool
+        (`make_eagle_pool` vmaps it; tfeats rides per slot)."""
         S = tokens.shape[0]
-        k1, k2 = jax.random.split(kb)
-
-        # 1) trie draft: absorb latest pairs, beam out the tree
-        trie, ekv = absorb_window(params_e, ekv, feat_buf, tokens, length - 1)
-
-        # 2) tree-masked target forward over the trie block
-        bias = jnp.where(trie.tree_mask, 0.0, -1e30).astype(jnp.float32)
-        base = tcache.length
-        pos = (trie.position_ids + length - 1 - tcache.start[0])[None, :]
-        tlogits, tcache, tfeats = tfwd(
-            params_t, trie.draft_tokens[None], tcache, bias, pos)
-        probs = temp(tlogits[0])          # [N+1, V]
-
         # 3) per-path probability rows + verification
         ri = trie.retrieve_indices                        # [N+1, Lpath]
         cand = jnp.where(ri >= 0,
@@ -226,13 +219,12 @@ def make_eagle_block(cfg_t: ModelConfig, ecfg: EagleConfig,
         new_length = length - 1 + ncommit + 1
         tokens = tokens.at[jnp.clip(new_length - 1, 0, S - 1)].set(nxt)
 
-        # 5) target KV compaction to the accepted path
+        # compaction selector for step 5 (caller applies it to its cache)
         sel = jnp.where(jnp.arange(Lpath) < ncommit,
                         jnp.clip(trie.retrieve_indices[best], 0, N), -1)
-        tcache = compact_path(tcache, sel, ncommit, base)
 
         # 6) scatter accepted features into the ring buffer
-        fsel = jnp.take(tfeats[0], jnp.clip(sel, 0, N), axis=0)
+        fsel = jnp.take(tfeats, jnp.clip(sel, 0, N), axis=0)
         fbase = length - 1
         fwrite = (posn >= fbase) & (posn < fbase + ncommit)
         fsrc = jnp.take(fsel, jnp.clip(posn - fbase, 0, Lpath - 1), axis=0)
@@ -241,9 +233,111 @@ def make_eagle_block(cfg_t: ModelConfig, ecfg: EagleConfig,
 
         hit_eos = jnp.any(write & (tokens == eos)) | (nxt == eos)
         return (tokens, new_length, acc_len, trie.path_len[best], hit_eos,
+                sel, ncommit, feat_buf)
+
+    def block(params_t, params_e: EagleParams, tokens, length, tcache, ekv,
+              feat_buf, kb):
+        k1, k2 = jax.random.split(kb)
+
+        # 1) trie draft: absorb latest pairs, beam out the tree
+        trie, ekv = absorb_window(params_e, ekv, feat_buf, tokens, length - 1)
+
+        # 2) tree-masked target forward over the trie block
+        bias = jnp.where(trie.tree_mask, 0.0, -1e30).astype(jnp.float32)
+        base = tcache.length
+        pos = (trie.position_ids + length - 1 - tcache.start[0])[None, :]
+        tlogits, tcache, tfeats = tfwd(
+            params_t, trie.draft_tokens[None], tcache, bias, pos)
+        probs = temp(tlogits[0])          # [N+1, V]
+
+        # 3/4/6) verify + commit (shared with the slot-batched pool)
+        (tokens, new_length, acc_len, plen, hit_eos, sel, ncommit,
+         feat_buf) = commit(trie, probs, tfeats[0], tokens, length, k1, k2,
+                            feat_buf)
+
+        # 5) target KV compaction to the accepted path
+        tcache = compact_path(tcache, sel, ncommit, base)
+
+        return (tokens, new_length, acc_len, plen, hit_eos,
                 tcache, ekv, feat_buf)
 
-    return prefill, block
+    return prefill, block, absorb_window, commit
+
+
+def make_eagle_pool(cfg_t: ModelConfig, ecfg: EagleConfig,
+                    engine: EngineConfig, mode: str = "hsd",
+                    target_forward=None, static_tree=None):
+    """Slot-BATCHED eagenerate block: one step for a whole pool of B slots
+    with ONE target tree forward over the stacked tries.
+
+    Why not vmap the single-slot block (the engine's original pool step)?
+    The target tree forward dominates the EAGLE block (~13 of 21.5 ms at 8B
+    geometry — an ~8 GB quantized weight stream per block), and vmap over a
+    `pallas_call` extends the GRID, so the vmapped pool re-streams the
+    weights once PER SLOT. Here the tries are stacked into one [B, N+1]
+    token batch instead: the matvec kernels flatten leading dims into their
+    activation row plane (ops/gptq_pallas.gptq_matmul), so B slots share
+    one weight pass. Slots sit at divergent cache frontiers, so the
+    forward runs with per-row `lengths` (models/transformer.forward) and
+    compaction uses the per-row `kvcache.compact_path_batched`.
+
+    The beam/absorb (small head) and verify/commit (element ops) stay
+    vmapped per slot — they re-stream only head-sized weights.
+
+    Returns `pool_block(params_t, params_e, tokens [B,S], lengths [B],
+    tcache (batch-B KVCache), ekv (leading-B pytree), feat_buf [B,S,Dt],
+    keys [B]) -> (tokens, lengths', acc_len [B], path_len [B], hit_eos [B],
+    tcache, ekv, feat_buf)` — same per-slot math as `make_eagle_block`'s
+    block (shared `absorb_window`/`commit` closures), so the greedy
+    invariant (greedy EAGLE == target AR greedy, per slot) carries over.
+
+    target_forward must accept `lengths=` (the default transformer.forward
+    does; `eval.synthetic.make_coupled_eagle_target` passes it through).
+    The reference has no serving at all (single-request eagenerate,
+    ea_model.py:194-366)."""
+    _, _, absorb_window, commit = make_eagle_block(
+        cfg_t, ecfg, engine, mode=mode, target_forward=target_forward,
+        static_tree=static_tree)
+    temp = processor(engine.temperature, engine.top_k, engine.top_p)
+    if ecfg.version == 1:
+        feat_layers = (-1,)
+    else:
+        feat_layers = default_feature_layers(cfg_t)
+    tfwd = target_forward or (
+        lambda p, t, c, ab, pos, lengths=None: transformer.forward(
+            cfg_t, p, t, c, attn_bias=ab, positions=pos,
+            feature_layers=feat_layers, lengths=lengths))
+
+    def pool_block(params_t, params_e: EagleParams, tokens, lengths,
+                   tcache, ekv, feat_buf, keys):
+        ks = jax.vmap(jax.random.split)(keys)            # [B, 2, 2]
+        k1s, k2s = ks[:, 0], ks[:, 1]
+
+        # 1) per-slot beam tries (head-sized weights; vmap acceptable)
+        trie, ekv = jax.vmap(absorb_window, in_axes=(None, 0, 0, 0, 0))(
+            params_e, ekv, feat_buf, tokens, lengths - 1)
+
+        # 2) ONE slot-batched tree-masked target forward
+        bias = jnp.where(trie.tree_mask, 0.0, -1e30).astype(jnp.float32)
+        base = lengths - 1          # per-slot target-cache frontier: the
+        #                             cache holds length-1 committed keys
+        #                             (prefill leaves P keys for P+1 tokens)
+        pos = trie.position_ids + (base - tcache.start)[:, None]
+        tlogits, tcache, tfeats = tfwd(params_t, trie.draft_tokens, tcache,
+                                       bias, pos, lengths=base)
+        probs = temp(tlogits)                            # [B, N+1, V]
+
+        # 3/4/6) per-slot verify + commit (shared closure)
+        (tokens, new_lengths, acc_len, plen, hit_eos, sel, ncommit,
+         feat_buf) = jax.vmap(commit)(trie, probs, tfeats, tokens, lengths,
+                                      k1s, k2s, feat_buf)
+
+        # 5) per-row tree-path KV compaction
+        tcache = compact_path_batched(tcache, sel, ncommit, base)
+        return (tokens, new_lengths, acc_len, plen, hit_eos, tcache, ekv,
+                feat_buf)
+
+    return pool_block
 
 
 def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
@@ -264,7 +358,7 @@ def make_eagle_generate(cfg_t: ModelConfig, ecfg: EagleConfig,
     N = ecfg.total_tokens
     max_new = engine.max_new_tokens
     eos = cfg_t.eos_token_id
-    prefill_fn, block_fn = make_eagle_block(
+    prefill_fn, block_fn, _, _ = make_eagle_block(
         cfg_t, ecfg, engine, mode=mode, target_forward=target_forward,
         static_tree=static_tree)
 

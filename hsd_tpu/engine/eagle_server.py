@@ -25,7 +25,7 @@ import numpy as np
 
 from ..config import EngineConfig, ModelConfig
 from ..models.eagle import EagleConfig
-from .eagle_engine import make_eagle_block
+from .eagle_engine import make_eagle_block, make_eagle_pool
 
 
 @dataclasses.dataclass
@@ -40,14 +40,21 @@ class Request:
 
 
 class EagleSlotEngine:
-    """Host-side continuous-batching scheduler around the vmapped EAGLE
-    block. mode in {'greedy', 'typical', 'hsd', 'hsd_ref'}."""
+    """Host-side continuous-batching scheduler around the EAGLE pool block.
+    mode in {'greedy', 'typical', 'hsd', 'hsd_ref'}.
+
+    batched=True (default): the pool step runs ONE slot-batched target tree
+    forward with per-row cache frontiers (`eagle_engine.make_eagle_pool`)
+    so all slots share a single quantized-weight stream — the term that
+    dominates the block at production geometry. batched=False keeps the
+    original fully-vmapped per-slot block (one weight stream PER slot
+    through the Pallas grid; retained for A/B measurement)."""
 
     def __init__(self, cfg_t: ModelConfig, ecfg: EagleConfig,
                  engine: EngineConfig, n_slots: int, bucket: int,
                  params_t=None, params_e=None, seed: int = 0,
                  admit_batch: int = 4, mode: str = "hsd",
-                 target_forward=None):
+                 target_forward=None, batched: bool = True):
         self.cfg_t, self.ecfg, self.engine = cfg_t, ecfg, engine
         self.n_slots, self.bucket = n_slots, bucket
         self.max_new = engine.max_new_tokens
@@ -60,8 +67,13 @@ class EagleSlotEngine:
         self.slot_rid = [-1] * n_slots
         self.admit_batch = min(admit_batch, n_slots)
         self.eos = cfg_t.eos_token_id
-        self._prefill1, self._block1 = make_eagle_block(
+        self.batched = batched
+        self._prefill1, self._block1, _, _ = make_eagle_block(
             cfg_t, ecfg, engine, mode=mode, target_forward=target_forward)
+        if batched:
+            self._pool_block = make_eagle_pool(
+                cfg_t, ecfg, engine, mode=mode,
+                target_forward=target_forward)
         self._build()
         self.state = self._init_state()
         self.total_committed = 0
@@ -72,6 +84,15 @@ class EagleSlotEngine:
         n_slots = self.n_slots
         block1 = self._block1
         prefill1 = self._prefill1
+
+        def keep_for(active):
+            def keep(new, old):
+                return jax.tree.map(
+                    lambda n_, o: jnp.where(
+                        jnp.reshape(active,
+                                    (n_slots,) + (1,) * (n_.ndim - 1)),
+                        n_, o), new, old)
+            return keep
 
         def pool_step(params_t, params_e, tokens, length, prompt_end,
                       slot_max_new, active, acc_sum, blk_cnt, tcache, ekv,
@@ -84,21 +105,34 @@ class EagleSlotEngine:
                                     keys)
             budget = length2 - prompt_end >= slot_max_new
             done2 = active & (hit_eos | budget)
-
-            def keep(new, old):
-                return jax.tree.map(
-                    lambda n_, o: jnp.where(
-                        jnp.reshape(active,
-                                    (n_slots,) + (1,) * (n_.ndim - 1)),
-                        n_, o), new, old)
-
+            keep = keep_for(active)
             return (keep(tokens2, tokens), keep(length2, length), done2,
                     keep(acc_sum + acc_len, acc_sum),
                     keep(blk_cnt + 1, blk_cnt), keep(tcache2, tcache),
                     keep(ekv2, ekv), keep(feat2, feat_buf))
 
-        self._step = jax.jit(pool_step,
-                             donate_argnums=(2, 3, 7, 8, 9, 10, 11))
+        def pool_step_batched(params_t, params_e, tokens, length, prompt_end,
+                              slot_max_new, active, acc_sum, blk_cnt, tcache,
+                              ekv, feat_buf, keys):
+            (tokens2, length2, acc_len, _plen, hit_eos, tcache2, ekv2,
+             feat2) = self._pool_block(params_t, params_e, tokens, length,
+                                       tcache, ekv, feat_buf, keys)
+            budget = length2 - prompt_end >= slot_max_new
+            done2 = active & (hit_eos | budget)
+            keep = keep_for(active)
+            # cache/ekv/feat updates go UNMASKED: inactive rows hold
+            # garbage only in their own slot row (lengths stay frozen by
+            # the keep below, so writes land at a fixed frontier; scatter
+            # positions past S are dropped), and admission overwrites the
+            # whole row — masking them would cost a full pool-cache
+            # read+write of `where` every step for nothing.
+            return (keep(tokens2, tokens), keep(length2, length), done2,
+                    keep(acc_sum + acc_len, acc_sum),
+                    keep(blk_cnt + 1, blk_cnt), tcache2, ekv2, feat2)
+
+        self._step = jax.jit(
+            pool_step_batched if self.batched else pool_step,
+            donate_argnums=(2, 3, 7, 8, 9, 10, 11))
 
         def prefill_batch(params_t, params_e, prompts, prompt_lens, keys):
             """Batched admission prefill: one program per admission round
@@ -120,6 +154,18 @@ class EagleSlotEngine:
                                            p, n, k),
             p0, jnp.int32(1), jax.random.PRNGKey(0))
         zeros = lambda sd: jnp.zeros((self.n_slots,) + sd.shape, sd.dtype)
+        if self.batched:
+            # ONE batch-B cache (slot axis = the cache's own batch axis 1)
+            # instead of a leading-slot-axis stack of B=1 caches: the pool
+            # block's target forward takes it whole
+            from .kvcache import KVCache
+            wide = lambda sd: jnp.zeros(
+                (sd.shape[0], self.n_slots) + sd.shape[2:], sd.dtype)
+            tcache = KVCache(k=wide(tc.k), v=wide(tc.v),
+                             length=jnp.int32(0),
+                             start=jnp.zeros((self.n_slots,), jnp.int32))
+        else:
+            tcache = jax.tree.map(zeros, tc)
         return dict(
             tokens=jnp.zeros((self.n_slots, self.S), jnp.int32),
             length=jnp.full((self.n_slots,), 2, jnp.int32),
@@ -129,7 +175,7 @@ class EagleSlotEngine:
             done=jnp.zeros((self.n_slots,), bool),
             acc_sum=jnp.zeros((self.n_slots,), jnp.int32),
             blk_cnt=jnp.zeros((self.n_slots,), jnp.int32),
-            tcache=jax.tree.map(zeros, tc),
+            tcache=tcache,
             ekv=jax.tree.map(zeros, ek),
             feat_buf=jax.tree.map(zeros, fb),
         )
@@ -170,6 +216,19 @@ class EagleSlotEngine:
             put = lambda buf, new: jax.tree.map(
                 lambda b, n: b.at[jnp.asarray(slots)].set(n), buf, new)
             ii = jnp.asarray(slots)
+            if self.batched:
+                # slot axis of the pool cache is axis 1 ([L, B, S, H, D]);
+                # each admitted request's B=1 cache row scatters into it
+                tc = st["tcache"]
+                tcache = tc._replace(
+                    k=tc.k.at[:, ii].set(
+                        jnp.moveaxis(tc_new.k[:, :, 0], 0, 1)),
+                    v=tc.v.at[:, ii].set(
+                        jnp.moveaxis(tc_new.v[:, :, 0], 0, 1)),
+                    start=tc.start.at[ii].set(tc_new.start[:, 0]),
+                )
+            else:
+                tcache = put(st["tcache"], tc_new)
             self.state = dict(
                 st,
                 tokens=st["tokens"].at[ii].set(tokens_new),
@@ -181,7 +240,7 @@ class EagleSlotEngine:
                 done=st["done"].at[ii].set(jnp.zeros((A,), bool)),
                 acc_sum=st["acc_sum"].at[ii].set(jnp.zeros((A,), jnp.int32)),
                 blk_cnt=st["blk_cnt"].at[ii].set(jnp.zeros((A,), jnp.int32)),
-                tcache=put(st["tcache"], tc_new),
+                tcache=tcache,
                 ekv=put(st["ekv"], ek_new),
                 feat_buf=put(st["feat_buf"], fb_new),
             )

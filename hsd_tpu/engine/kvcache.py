@@ -87,6 +87,25 @@ def append_layer_stacked(k_all: jax.Array, v_all: jax.Array, idx: jax.Array,
     return k_all, v_all
 
 
+def append_layer_stacked_ragged(k_all: jax.Array, v_all: jax.Array,
+                                idx: jax.Array, lengths: jax.Array,
+                                k_new: jax.Array, v_new: jax.Array):
+    """Per-ROW append into layer `idx` of the stacked cache: row b writes
+    k_new[b]/v_new[b] [T, H_kv, D] at positions [lengths[b], lengths[b]+T).
+
+    The slot-batched serving path (engine/eagle_server batched pool): slots
+    committed different numbers of tokens, so their cache frontiers diverge
+    — a scalar-`length` dynamic_update_slice cannot place all rows. One
+    scatter per layer (B*T rows of [H, D]) replaces it; tiny next to the
+    weight stream the batching exists to amortize."""
+    B, T = k_new.shape[:2]
+    b_ids = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+    pos = lengths[:, None] + jnp.arange(T)[None, :]
+    k_all = k_all.at[idx, b_ids, pos].set(k_new.astype(k_all.dtype))
+    v_all = v_all.at[idx, b_ids, pos].set(v_new.astype(v_all.dtype))
+    return k_all, v_all
+
+
 def rollback(cache: KVCache, new_length: jax.Array) -> KVCache:
     """Speculative rollback: truncate to `new_length` valid positions.
 
@@ -114,6 +133,28 @@ def compact_path(cache: KVCache, rel_indices: jax.Array, n_valid: jax.Array,
     v = jax.lax.dynamic_update_slice(cache.v, vg, (0, 0, base, 0, 0))
     return cache._replace(k=k, v=v,
                           length=(base + n_valid).astype(jnp.int32))
+
+
+def compact_path_batched(cache: KVCache, rel_indices: jax.Array,
+                         n_valid: jax.Array, base: jax.Array) -> KVCache:
+    """Per-ROW tree-path compaction: row b keeps seq slots
+    base[b] + rel_indices[b] (fixed-size, -1 padded) into contiguous
+    [base[b], base[b] + n_valid[b]).
+
+    The batched twin of `compact_path` for the slot-batched EAGLE pool
+    (per-slot bases/accept counts diverge). Junk lands in slots past
+    n_valid[b] — dead by each slot's length contract."""
+    B, T = rel_indices.shape
+    S = cache.max_len
+    src = jnp.clip(base[:, None] + jnp.clip(rel_indices, 0, S - 1),
+                   0, S - 1)                               # [B, T]
+    kg = jnp.take_along_axis(cache.k, src[None, :, :, None, None], axis=2)
+    vg = jnp.take_along_axis(cache.v, src[None, :, :, None, None], axis=2)
+    b_ids = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+    dst = jnp.clip(base[:, None] + jnp.arange(T)[None, :], 0, S - 1)
+    k = cache.k.at[:, b_ids, dst].set(kg)
+    v = cache.v.at[:, b_ids, dst].set(vg)
+    return cache._replace(k=k, v=v)
 
 
 def select_draft_row(cache: KVCache, row: jax.Array) -> KVCache:

@@ -214,10 +214,12 @@ def make_coupled_eagle_target(cfg_big: ModelConfig, feature_layers):
         sd = jnp.std(x, axis=-1, keepdims=True) + 1e-6
         return (x - mu) / sd
 
-    def forward(cp: CoupledEagleParams, tokens, cache, attn_bias, positions):
+    def forward(cp: CoupledEagleParams, tokens, cache, attn_bias, positions,
+                lengths=None):
         big_logits, cache, feats = transformer.forward(
             cfg_big, cp.big, tokens, cache, attn_bias=attn_bias,
-            positions=positions, feature_layers=feature_layers)
+            positions=positions, feature_layers=feature_layers,
+            lengths=lengths)
         u = oracle_logits(cp, tokens)
         return cp.scale * _std(u) + cp.lam * _std(big_logits), cache, feats
 

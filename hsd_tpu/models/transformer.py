@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..engine.kvcache import KVCache, append_layer_stacked
+from ..engine.kvcache import (KVCache, append_layer_stacked,
+                              append_layer_stacked_ragged)
 from ..ops.linear import apply_linear, init_dense
 
 
@@ -234,10 +235,11 @@ def _attention(q, k, v, q_index, kv_length, start, attn_bias):
     replacement for the reference's dynamic cache slicing. `q_index` [B, T]
     are cache-slot indices of the queries; `start` [B] marks dead left-pad
     slots. attn_bias, if given, is [T, T] additive bias applied on the
-    self-block (used for tree attention).
+    self-block (used for tree attention); `kv_length` locates that block and
+    may be per-row [B] (slot-batched serving: rows at divergent frontiers).
     """
     from ..ops.flash_decode import flash_attention_decode, use_flash
-    if use_flash(q, k):
+    if use_flash(q, k) and jnp.ndim(kv_length) == 0:
         # long-cache decode regime: stream the cache once with online
         # softmax instead of materializing [Hkv, rep, T, S] fp32 scores
         # (ops/flash_decode.py; same masking/bias semantics as below)
@@ -258,14 +260,21 @@ def _attention(q, k, v, q_index, kv_length, start, attn_bias):
     qp = q_index[:, None, None, :, None]  # [B,1,1,T,1]
     mask = (key_pos <= qp) & (key_pos >= start[:, None, None, None, None])
     if attn_bias is not None:
-        # Tree attention: attn_bias is a [T, T] additive bias over the new
-        # tokens (the draft trie); it lands on the keys written this call,
-        # i.e. cache positions [kv_length, kv_length + T).
-        start = kv_length
-        kidx = jnp.clip(jnp.arange(S) - start, 0, T - 1)
-        self_block = (jnp.arange(S)[None, :] >= start) & (jnp.arange(S)[None, :] < start + T)
-        bias = jnp.where(self_block, attn_bias[:, kidx], 0.0)
-        scores = scores + bias[None, None, None, :, :]
+        # Tree attention: attn_bias is a [T, T] (or per-row [B, T, T])
+        # additive bias over the new tokens (the draft trie); it lands on
+        # the keys written this call, i.e. cache positions
+        # [kv_length, kv_length + T) — per row when kv_length is [B].
+        base = jnp.broadcast_to(jnp.atleast_1d(kv_length), (B,))
+        kidx = jnp.clip(jnp.arange(S)[None, :] - base[:, None], 0, T - 1)
+        self_block = ((jnp.arange(S)[None, :] >= base[:, None])
+                      & (jnp.arange(S)[None, :] < base[:, None] + T))
+        ab = jnp.broadcast_to(
+            attn_bias if attn_bias.ndim == 3 else attn_bias[None],
+            (B, T, T))
+        bias = jnp.take_along_axis(
+            ab, jnp.broadcast_to(kidx[:, None, :], (B, T, S)), axis=2)
+        bias = jnp.where(self_block[:, None, :], bias, 0.0)
+        scores = scores + bias[:, None, None, :, :]
     # large-negative (not -inf) so fully-masked pad rows stay finite: a NaN
     # softmax row would poison every later layer through 0 * NaN in the
     # value matmul.
@@ -282,7 +291,8 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
             tp_axis: Optional[str] = None,
             hidden_in: Optional[jax.Array] = None,
             skip_head: bool = False,
-            ring_axis: Optional[str] = None):
+            ring_axis: Optional[str] = None,
+            lengths: Optional[jax.Array] = None):
     """Run the decoder over `tokens` [B, T] appending to `cache`.
 
     Returns (logits [B, T, V] float32, updated cache with length += T).
@@ -310,6 +320,14 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
     (ops/ring_attention.py) instead of against the cache buffer. Requires
     an empty local cache (prefill-from-scratch) and explicit GLOBAL
     `positions`.
+
+    lengths: optional per-ROW cache frontiers [B] int32, replacing the
+    scalar `cache.length` (slot-batched serving, engine/eagle_server: slots
+    committed different token counts, but one program must run them all so
+    the quantized matvec kernels see the stacked [B*T] activation plane and
+    stream the weights ONCE — vmapping the per-slot forward would extend
+    the Pallas grid and re-stream per slot). Appends scatter per row;
+    `cache.length` is left untouched (the caller tracks rows itself).
     """
     B, T = tokens.shape
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
@@ -320,8 +338,11 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
 
     def reduce_tp(y):
         return jax.lax.psum(y, tp_axis) if tp_axis is not None else y
-    q_index = cache.length + jnp.arange(T)[None, :].astype(jnp.int32)
-    q_index = jnp.broadcast_to(q_index, (B, T))
+    if lengths is not None:
+        q_index = lengths[:, None] + jnp.arange(T)[None, :].astype(jnp.int32)
+    else:
+        q_index = cache.length + jnp.arange(T)[None, :].astype(jnp.int32)
+        q_index = jnp.broadcast_to(q_index, (B, T))
     if positions is None:
         # RoPE positions discount the dead left-pad region
         positions = jnp.maximum(q_index - cache.start[:, None], 0)
@@ -387,8 +408,12 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         v = v.reshape(B, T, Hkv, hd)
         q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
         k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
-        k_all, v_all = append_layer_stacked(k_all, v_all, idx, cache.length,
-                                            k, v)
+        if lengths is not None:
+            k_all, v_all = append_layer_stacked_ragged(k_all, v_all, idx,
+                                                       lengths, k, v)
+        else:
+            k_all, v_all = append_layer_stacked(k_all, v_all, idx,
+                                                cache.length, k, v)
         if ring_axis is not None:
             from ..ops.ring_attention import ring_attention
             att = ring_attention(q, k, v, positions, ring_axis
@@ -398,8 +423,10 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
                                                  keepdims=False)
             v_buf = jax.lax.dynamic_index_in_dim(v_all, idx, 0,
                                                  keepdims=False)
-            att = _attention(q, k_buf, v_buf, q_index, cache.length,
-                             cache.start, attn_bias)
+            att = _attention(
+                q, k_buf, v_buf, q_index,
+                lengths if lengths is not None else cache.length,
+                cache.start, attn_bias)
         x = x + reduce_tp(lin("wo", att.reshape(B, T, H * hd)))
         if "gate" in names:
             h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)

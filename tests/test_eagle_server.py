@@ -36,11 +36,13 @@ def _prompts():
     return [list(range(3 + i, 11 + i)) for i in range(6)]
 
 
-def test_eagle_server_greedy_matches_ar(models):
+@pytest.mark.parametrize("batched", [True, False])
+def test_eagle_server_greedy_matches_ar(models, batched):
     pt, pe = models
     eng = EngineConfig(max_new_tokens=10, temperature=0.0)
     se = EagleSlotEngine(TCFG, ECFG, eng, n_slots=2, bucket=16,
-                        params_t=pt, params_e=pe, mode="greedy", seed=3)
+                        params_t=pt, params_e=pe, mode="greedy", seed=3,
+                        batched=batched)
     budgets = [10, 4, 7, 10, 5, 10]
     for rid, (p, mn) in enumerate(zip(_prompts(), budgets)):
         se.submit(rid, p, max_new=mn)
@@ -96,3 +98,27 @@ def test_eagle_server_late_submission(models):
     se.submit(2, _prompts()[2], max_new=3)
     out.extend(se.run_all())
     assert sorted(r.rid for r in out) == [0, 1, 2]
+
+
+def test_eagle_server_batched_matches_vmapped(models):
+    """The slot-batched pool (ONE target forward with per-row lengths +
+    batched compaction) reproduces the fully-vmapped per-slot pool's
+    OUTPUT TOKENS exactly: same per-slot math (shared absorb/commit
+    closures), same key discipline, and the batched matmul is row-parallel
+    so per-row reductions are order-identical on the CPU mesh."""
+    pt, pe = models
+    eng = EngineConfig(max_new_tokens=8, temperature=1.0)
+    outs = {}
+    for batched in (False, True):
+        se = EagleSlotEngine(TCFG, ECFG, eng, n_slots=2, bucket=16,
+                             params_t=pt, params_e=pe, mode="hsd", seed=5,
+                             batched=batched)
+        budgets = [8, 3, 6, 8]
+        for rid, (p, mn) in enumerate(zip(_prompts()[:4], budgets)):
+            se.submit(rid, p, max_new=mn)
+        done = se.run_all()
+        outs[batched] = {r.rid: np.asarray(r.out_tokens) for r in done}
+    assert sorted(outs[True]) == sorted(outs[False])
+    for rid in outs[True]:
+        np.testing.assert_array_equal(
+            outs[True][rid], outs[False][rid], err_msg=f"rid {rid}")

@@ -51,6 +51,17 @@ class ModelConfig:
     # targets: GSPMD cannot partition the Pallas custom call, so a sharded
     # qweight would be force-replicated (docs/MULTIHOST.md).
     gptq_path: str = "auto"
+    # feed the quantized kernels' MXU bf16 operands (f32 accumulation).
+    # OFF by default: the batch-1 decode matvec is weight-stream-bound and
+    # keeps exact f32 numerics (every parity test pins them). Turn ON for
+    # slot-BATCHED serving (engine/eagle_server) where the tree/verify
+    # forward is f32-MXU COMPUTE-bound (measured 95 ms for the B=4 tree
+    # forward at 8B geometry against a ~10 ms weight stream,
+    # scripts/profile_eagle_pool.py). int8 /
+    # int4 codes are bf16-exact; only activation rounding changes, which
+    # moves acceptance rates (never correctness — verification reconstructs
+    # the target law from whatever logits the forward produces).
+    gptq_mxu_bf16: bool = False
 
     @property
     def is_moe(self) -> bool:

@@ -27,7 +27,8 @@ from ..models.eagle import (EagleConfig, EagleParams, Trie, build_trie,
 from ..ops.sampling import process_logits, processor, sample
 from ..verify.trie import (verify_trie_greedy, verify_trie_hsd,
                            verify_trie_typical)
-from .kvcache import compact_path, compact_path_batched, init_cache
+from .kvcache import (compact_path, compact_path_batched,
+                      compact_path_staged, init_cache)
 
 
 class EagleGenerateResult(NamedTuple):
@@ -284,17 +285,29 @@ def make_eagle_pool(cfg_t: ModelConfig, ecfg: EagleConfig,
     The beam/absorb (small head) and verify/commit (element ops) stay
     vmapped per slot — they re-stream only head-sized weights.
 
-    Returns `pool_block(params_t, params_e, tokens [B,S], lengths [B],
-    tcache (batch-B KVCache), ekv (leading-B pytree), feat_buf [B,S,Dt],
-    keys [B]) -> (tokens, lengths', acc_len [B], path_len [B], hit_eos [B],
-    tcache, ekv, feat_buf)` — same per-slot math as `make_eagle_block`'s
-    block (shared `absorb_window`/`commit` closures), so the greedy
-    invariant (greedy EAGLE == target AR greedy, per slot) carries over.
+    Tree KV placement is STAGED: the batched forward writes all B tries at
+    the cache's fixed tail region [S_tok, S_tok + N+1) — one uniform
+    dynamic_update_slice per layer — and compaction copies each slot's
+    accepted path from staging into its own frontier
+    (`kvcache.compact_path_staged`). The first cut appended at each row's
+    frontier via scatter; that measured ~3 ms/LAYER at B=4 (XLA scatter of
+    B*(N+1) rows inside the scan) and made the batched pool slower than the
+    vmapped one. The pool cache must therefore be N+1 slots LONGER than the
+    token buffer (`EagleSlotEngine` sizes it so).
 
-    target_forward must accept `lengths=` (the default transformer.forward
-    does; `eval.synthetic.make_coupled_eagle_target` passes it through).
-    The reference has no serving at all (single-request eagenerate,
-    ea_model.py:194-366)."""
+    Returns `pool_block(params_t, params_e, tokens [B,S], lengths [B],
+    tcache (batch-B KVCache, max_len = S + N+1), ekv (leading-B pytree),
+    feat_buf [B,S,Dt], keys [B]) -> (tokens, lengths', acc_len [B],
+    path_len [B], hit_eos [B], tcache, ekv, feat_buf)` — same per-slot math
+    as `make_eagle_block`'s block (shared `absorb_window`/`commit`
+    closures), so the greedy invariant (greedy EAGLE == target AR greedy,
+    per slot) carries over.
+
+    target_forward must accept `lengths=` and `staging_at=` (the default
+    transformer.forward does; `eval.synthetic.make_coupled_eagle_target`
+    passes them through). The reference has no serving at all
+    (single-request eagenerate, ea_model.py:194-366)."""
+    N = ecfg.total_tokens
     _, _, absorb_window, commit = make_eagle_block(
         cfg_t, ecfg, engine, mode=mode, target_forward=target_forward,
         static_tree=static_tree)
@@ -304,12 +317,17 @@ def make_eagle_pool(cfg_t: ModelConfig, ecfg: EagleConfig,
     else:
         feat_layers = default_feature_layers(cfg_t)
     tfwd = target_forward or (
-        lambda p, t, c, ab, pos, lengths=None: transformer.forward(
+        lambda p, t, c, ab, pos, lengths=None, staging_at=None:
+        transformer.forward(
             cfg_t, p, t, c, attn_bias=ab, positions=pos,
-            feature_layers=feat_layers, lengths=lengths))
+            feature_layers=feat_layers, lengths=lengths,
+            staging_at=staging_at))
 
     def pool_block(params_t, params_e: EagleParams, tokens, lengths,
                    tcache, ekv, feat_buf, keys):
+        staging_at = tcache.max_len - (N + 1)
+        assert staging_at == tokens.shape[1], \
+            "pool cache must extend the token buffer by the staging region"
         ks = jax.vmap(jax.random.split)(keys)            # [B, 2, 2]
         k1s, k2s = ks[:, 0], ks[:, 1]
 
@@ -317,14 +335,15 @@ def make_eagle_pool(cfg_t: ModelConfig, ecfg: EagleConfig,
         trie, ekv = jax.vmap(absorb_window, in_axes=(None, 0, 0, 0, 0))(
             params_e, ekv, feat_buf, tokens, lengths - 1)
 
-        # 2) ONE slot-batched tree-masked target forward
+        # 2) ONE slot-batched tree-masked target forward, staged
         bias = jnp.where(trie.tree_mask, 0.0, -1e30).astype(jnp.float32)
         base = lengths - 1          # per-slot target-cache frontier: the
         #                             cache holds length-1 committed keys
         #                             (prefill leaves P keys for P+1 tokens)
         pos = trie.position_ids + (base - tcache.start)[:, None]
         tlogits, tcache, tfeats = tfwd(params_t, trie.draft_tokens, tcache,
-                                       bias, pos, lengths=base)
+                                       bias, pos, lengths=base,
+                                       staging_at=staging_at)
         probs = temp(tlogits)                            # [B, N+1, V]
 
         # 3/4/6) per-slot verify + commit (shared closure)
@@ -332,8 +351,9 @@ def make_eagle_pool(cfg_t: ModelConfig, ecfg: EagleConfig,
          feat_buf) = jax.vmap(commit)(trie, probs, tfeats, tokens, lengths,
                                       k1s, k2s, feat_buf)
 
-        # 5) per-row tree-path KV compaction
-        tcache = compact_path_batched(tcache, sel, ncommit, base)
+        # 5) staged tree-path KV compaction (staging -> per-row frontier)
+        tcache = compact_path_staged(tcache, sel, ncommit, base,
+                                     src_base=staging_at)
         return (tokens, new_lengths, acc_len, plen, hit_eos, tcache, ekv,
                 feat_buf)
 

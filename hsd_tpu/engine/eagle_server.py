@@ -54,7 +54,8 @@ class EagleSlotEngine:
                  engine: EngineConfig, n_slots: int, bucket: int,
                  params_t=None, params_e=None, seed: int = 0,
                  admit_batch: int = 4, mode: str = "hsd",
-                 target_forward=None, batched: bool = True):
+                 target_forward=None, batched: bool = True,
+                 steps_per_dispatch: int = 1):
         self.cfg_t, self.ecfg, self.engine = cfg_t, ecfg, engine
         self.n_slots, self.bucket = n_slots, bucket
         self.max_new = engine.max_new_tokens
@@ -68,6 +69,15 @@ class EagleSlotEngine:
         self.admit_batch = min(admit_batch, n_slots)
         self.eos = cfg_t.eos_token_id
         self.batched = batched
+        # >1: run M pool blocks per jitted dispatch (lax.while_loop with an
+        # all-done early exit; per-block keys derived ON DEVICE by fold_in).
+        # Each dispatch of a ~200-leaf params pytree costs ~27 ms on the
+        # relay backend (scripts/probe_dispatch_floor.py) — at M=1 that
+        # floor rivals the 8B block compute itself. The trade: a slot
+        # freed mid-macro waits up to M-1 blocks for admission.
+        self.steps_per_dispatch = max(1, steps_per_dispatch)
+        if self.steps_per_dispatch > 1 and not batched:
+            raise ValueError("steps_per_dispatch>1 requires batched=True")
         self._prefill1, self._block1, _, _ = make_eagle_block(
             cfg_t, ecfg, engine, mode=mode, target_forward=target_forward)
         if batched:
@@ -130,8 +140,46 @@ class EagleSlotEngine:
                     keep(acc_sum + acc_len, acc_sum),
                     keep(blk_cnt + 1, blk_cnt), tcache2, ekv2, feat2)
 
+        M = self.steps_per_dispatch
+
+        def macro_step(params_t, params_e, tokens, length, prompt_end,
+                       slot_max_new, active, acc_sum, blk_cnt, tcache, ekv,
+                       feat_buf, base_key):
+            """M pool blocks per dispatch. Slots that finish (eos/budget)
+            are deactivated ON DEVICE so later iterations stop advancing
+            them; exits early when every slot is done."""
+            def cond(st):
+                return (st[0] < M) & jnp.any(st[3])
+
+            def body(st):
+                (i, tokens, length, active, done_acc, acc_sum, blk_cnt,
+                 tcache, ekv, feat_buf) = st
+                ki = jax.random.fold_in(base_key, i)
+                keys = jax.vmap(lambda s: jax.random.fold_in(ki, s))(
+                    jnp.arange(n_slots))
+                (tokens2, length2, acc_len, _plen, hit_eos, tcache, ekv,
+                 feat_buf) = self._pool_block(params_t, params_e, tokens,
+                                              length, tcache, ekv,
+                                              feat_buf, keys)
+                budget = length2 - prompt_end >= slot_max_new
+                done2 = active & (hit_eos | budget)
+                keep = keep_for(active)
+                return (i + 1, keep(tokens2, tokens),
+                        keep(length2, length), active & ~done2,
+                        done_acc | done2, keep(acc_sum + acc_len, acc_sum),
+                        keep(blk_cnt + 1, blk_cnt), tcache, ekv, feat_buf)
+
+            st = (jnp.int32(0), tokens, length, active,
+                  jnp.zeros_like(active), acc_sum, blk_cnt, tcache, ekv,
+                  feat_buf)
+            (_, tokens, length, _, done_acc, acc_sum, blk_cnt, tcache, ekv,
+             feat_buf) = jax.lax.while_loop(cond, body, st)
+            return (tokens, length, done_acc, acc_sum, blk_cnt, tcache,
+                    ekv, feat_buf)
+
         self._step = jax.jit(
-            pool_step_batched if self.batched else pool_step,
+            macro_step if M > 1 else
+            (pool_step_batched if self.batched else pool_step),
             donate_argnums=(2, 3, 7, 8, 9, 10, 11))
 
         def prefill_batch(params_t, params_e, prompts, prompt_lens, keys):
@@ -157,10 +205,12 @@ class EagleSlotEngine:
         if self.batched:
             # ONE batch-B cache (slot axis = the cache's own batch axis 1)
             # instead of a leading-slot-axis stack of B=1 caches: the pool
-            # block's target forward takes it whole
+            # block's target forward takes it whole. N+1 extra tail slots
+            # hold the STAGED tree block (make_eagle_pool docstring).
             from .kvcache import KVCache
             wide = lambda sd: jnp.zeros(
-                (sd.shape[0], self.n_slots) + sd.shape[2:], sd.dtype)
+                (sd.shape[0], self.n_slots, sd.shape[2] + self.N + 1)
+                + sd.shape[3:], sd.dtype)
             tcache = KVCache(k=wide(tc.k), v=wide(tc.v),
                              length=jnp.int32(0),
                              start=jnp.zeros((self.n_slots,), jnp.int32))
@@ -218,13 +268,15 @@ class EagleSlotEngine:
             ii = jnp.asarray(slots)
             if self.batched:
                 # slot axis of the pool cache is axis 1 ([L, B, S, H, D]);
-                # each admitted request's B=1 cache row scatters into it
+                # each admitted request's B=1 cache row (S shorter by the
+                # staging tail) zero-pads and scatters into it
                 tc = st["tcache"]
+                pad = ((0, 0), (0, 0), (0, self.N + 1), (0, 0), (0, 0))
                 tcache = tc._replace(
-                    k=tc.k.at[:, ii].set(
-                        jnp.moveaxis(tc_new.k[:, :, 0], 0, 1)),
-                    v=tc.v.at[:, ii].set(
-                        jnp.moveaxis(tc_new.v[:, :, 0], 0, 1)),
+                    k=tc.k.at[:, ii].set(jnp.moveaxis(
+                        jnp.pad(tc_new.k[:, :, 0], pad), 0, 1)),
+                    v=tc.v.at[:, ii].set(jnp.moveaxis(
+                        jnp.pad(tc_new.v[:, :, 0], pad), 0, 1)),
                     start=tc.start.at[ii].set(tc_new.start[:, 0]),
                 )
             else:
@@ -279,7 +331,8 @@ class EagleSlotEngine:
         if all(r < 0 for r in self.slot_rid):
             return []
         self.key, k = jax.random.split(self.key)
-        keys = jax.random.split(k, self.n_slots)
+        keys = (k if self.steps_per_dispatch > 1
+                else jax.random.split(k, self.n_slots))
         st = self.state
         (tokens, length, done, acc_sum, blk_cnt, tcache, ekv, feat_buf) = \
             self._step(self.params_t, self.params_e, st["tokens"],

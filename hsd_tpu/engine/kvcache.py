@@ -157,6 +157,30 @@ def compact_path_batched(cache: KVCache, rel_indices: jax.Array,
     return cache._replace(k=k, v=v)
 
 
+def compact_path_staged(cache: KVCache, rel_indices: jax.Array,
+                        n_valid: jax.Array, dst_base: jax.Array,
+                        src_base: int) -> KVCache:
+    """Staged tree-path compaction: row b copies staging entries
+    src_base + rel_indices[b] (the fixed staging region the batched tree
+    forward wrote — transformer.forward staging_at) into its own frontier
+    [dst_base[b], dst_base[b] + n_valid[b]).
+
+    Unlike compact_path_batched this scatters only B*T (= slots x path)
+    rows — the big per-row traffic stays in the uniform staging append.
+    dst is clipped BELOW src_base so an over-budget row can never clobber
+    the staging region (such rows are done and harvested anyway)."""
+    B, T = rel_indices.shape
+    src = src_base + jnp.clip(rel_indices, 0, cache.max_len - 1 - src_base)
+    kg = jnp.take_along_axis(cache.k, src[None, :, :, None, None], axis=2)
+    vg = jnp.take_along_axis(cache.v, src[None, :, :, None, None], axis=2)
+    b_ids = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+    dst = jnp.clip(dst_base[:, None] + jnp.arange(T)[None, :], 0,
+                   src_base - 1)
+    k = cache.k.at[:, b_ids, dst].set(kg)
+    v = cache.v.at[:, b_ids, dst].set(vg)
+    return cache._replace(k=k, v=v)
+
+
 def select_draft_row(cache: KVCache, row: jax.Array) -> KVCache:
     """Multidraft KV rollback: keep draft `row`'s KV in every batch slot
     (ref equivalent: DynamicCache.crop(selected_draft), cache_utils.py:522-553).

@@ -215,11 +215,11 @@ def make_coupled_eagle_target(cfg_big: ModelConfig, feature_layers):
         return (x - mu) / sd
 
     def forward(cp: CoupledEagleParams, tokens, cache, attn_bias, positions,
-                lengths=None):
+                lengths=None, staging_at=None):
         big_logits, cache, feats = transformer.forward(
             cfg_big, cp.big, tokens, cache, attn_bias=attn_bias,
             positions=positions, feature_layers=feature_layers,
-            lengths=lengths)
+            lengths=lengths, staging_at=staging_at)
         u = oracle_logits(cp, tokens)
         return cp.scale * _std(u) + cp.lam * _std(big_logits), cache, feats
 

@@ -228,7 +228,8 @@ def _rope(x: jax.Array, positions: jax.Array, theta: float,
     return out.astype(x.dtype)
 
 
-def _attention(q, k, v, q_index, kv_length, start, attn_bias):
+def _attention(q, k, v, q_index, kv_length, start, attn_bias,
+               staging_at=None):
     """q: [B,T,H,d]; k,v: [B,S,Hkv,d] (full cache buffers).
 
     Causal + cache-validity masking by cache index — the static-shape
@@ -237,9 +238,17 @@ def _attention(q, k, v, q_index, kv_length, start, attn_bias):
     slots. attn_bias, if given, is [T, T] additive bias applied on the
     self-block (used for tree attention); `kv_length` locates that block and
     may be per-row [B] (slot-batched serving: rows at divergent frontiers).
+
+    staging_at (static int): tree-attention STAGING mode — the T new keys
+    live at the FIXED buffer tail [staging_at, staging_at+T) for every row
+    (so their append is a uniform dynamic_update_slice even when rows sit at
+    divergent frontiers — the per-row scatter append measured ~100 ms/block
+    at B=4, 8B geometry). Masking becomes `committed-prefix OR staging
+    block`; attn_bias must be per-row [B, T, T] and already carries -inf
+    for non-ancestor pairs, which is what keeps the staging block causal.
     """
     from ..ops.flash_decode import flash_attention_decode, use_flash
-    if use_flash(q, k) and jnp.ndim(kv_length) == 0:
+    if use_flash(q, k) and jnp.ndim(kv_length) == 0 and staging_at is None:
         # long-cache decode regime: stream the cache once with online
         # softmax instead of materializing [Hkv, rep, T, S] fp32 scores
         # (ops/flash_decode.py; same masking/bias semantics as below)
@@ -256,6 +265,24 @@ def _attention(q, k, v, q_index, kv_length, start, attn_bias):
     scores = jnp.einsum("btkrd,bskd->bkrts", qg, k,
                         preferred_element_type=jnp.float32)
     scores = scores * (d ** -0.5)
+    if staging_at is not None:
+        # staged tree attention: every query sees its row's committed
+        # prefix plus the staging block; the bias (placed at the static
+        # staging offset — no gather) encodes ancestor structure
+        kp = jnp.arange(S)[None, :]
+        kv_len = jnp.broadcast_to(jnp.atleast_1d(kv_length), (B,))
+        prefix = ((kp < kv_len[:, None]) & (kp >= start[:, None]))  # [B,S]
+        in_stage = (jnp.arange(S) >= staging_at) & \
+                   (jnp.arange(S) < staging_at + T)                 # [S]
+        bias = jnp.pad(attn_bias.astype(jnp.float32),
+                       ((0, 0), (0, 0),
+                        (staging_at, S - staging_at - T)))          # [B,T,S]
+        mask = prefix[:, None, :] | in_stage[None, None, :]         # [B,T,S]
+        scores = scores + bias[:, None, None, :, :]
+        scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bkrts,bskd->btkrd", probs, v)
+        return out.reshape(B, T, H, d)
     key_pos = jnp.arange(S)[None, None, None, None, :]
     qp = q_index[:, None, None, :, None]  # [B,1,1,T,1]
     mask = (key_pos <= qp) & (key_pos >= start[:, None, None, None, None])
@@ -292,7 +319,8 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
             hidden_in: Optional[jax.Array] = None,
             skip_head: bool = False,
             ring_axis: Optional[str] = None,
-            lengths: Optional[jax.Array] = None):
+            lengths: Optional[jax.Array] = None,
+            staging_at: Optional[int] = None):
     """Run the decoder over `tokens` [B, T] appending to `cache`.
 
     Returns (logits [B, T, V] float32, updated cache with length += T).
@@ -328,6 +356,14 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
     stream the weights ONCE — vmapping the per-slot forward would extend
     the Pallas grid and re-stream per slot). Appends scatter per row;
     `cache.length` is left untouched (the caller tracks rows itself).
+
+    staging_at (static int, requires `lengths` + `attn_bias` [B, T, T]):
+    write the T new keys at the FIXED region [staging_at, staging_at+T) of
+    every row instead of each row's frontier — a uniform
+    dynamic_update_slice where the per-row append needs an XLA scatter
+    (measured ~3 ms/layer at B=4). The caller compacts accepted entries
+    from staging into the frontier afterwards
+    (kvcache.compact_path_staged).
     """
     B, T = tokens.shape
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
@@ -383,9 +419,10 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         def lin(name, h, bias=None, rms=None):
             if name in qnames:
                 return apply_linear(names[name], h, bias, layer=idx,
-                                    path=cfg.gptq_path, rms=rms)
+                                    path=cfg.gptq_path, rms=rms,
+                                    mxu_bf16=cfg.gptq_mxu_bf16)
             return apply_linear(lp[name], h, bias, path=cfg.gptq_path,
-                                rms=rms)
+                                rms=rms, mxu_bf16=cfg.gptq_mxu_bf16)
 
         x_in = x
         if "wqkv" in names:
@@ -408,7 +445,10 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         v = v.reshape(B, T, Hkv, hd)
         q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
         k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
-        if lengths is not None:
+        if staging_at is not None:
+            k_all, v_all = append_layer_stacked(k_all, v_all, idx,
+                                                jnp.int32(staging_at), k, v)
+        elif lengths is not None:
             k_all, v_all = append_layer_stacked_ragged(k_all, v_all, idx,
                                                        lengths, k, v)
         else:
@@ -426,7 +466,7 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
             att = _attention(
                 q, k_buf, v_buf, q_index,
                 lengths if lengths is not None else cache.length,
-                cache.start, attn_bias)
+                cache.start, attn_bias, staging_at=staging_at)
         x = x + reduce_tp(lin("wo", att.reshape(B, T, H * hd)))
         if "gate" in names:
             h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
@@ -471,7 +511,8 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         head = params.embed.T
     else:
         head = params.lm_head
-    logits = apply_linear(head, x, path=cfg.gptq_path).astype(jnp.float32)
+    logits = apply_linear(head, x, path=cfg.gptq_path,
+                          mxu_bf16=cfg.gptq_mxu_bf16).astype(jnp.float32)
     new_cache = cache._replace(k=k_new, v=v_new, length=cache.length + T)
     if feature_layers is not None:
         return logits, new_cache, feats

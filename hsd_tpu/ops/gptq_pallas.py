@@ -42,7 +42,7 @@ def _scale_slice(s_ref, gpb, n_in_blocks, stacked=False):
 
 
 def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs, n_in_blocks,
-            stacked=False):
+            stacked=False, mxu_bf16=False):
     """Grid (out_blocks, in_blocks); accumulate x_blk @ (codes * scale).
 
     Zero-points are handled OUTSIDE the kernel as a rank-1 correction
@@ -51,7 +51,14 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs, n_in_blocks,
     part of this memory-streaming kernel (docs/BENCHMARKS.md).
 
     stacked=True: weight/scale refs carry a leading layer axis of block 1
-    (scalar-prefetch layer select — see gptq_matmul layer_index)."""
+    (scalar-prefetch layer select — see gptq_matmul layer_index).
+    mxu_bf16=True: feed the MXU bf16 operands (f32 accumulation). The
+    decode matvec is weight-stream-bound and keeps exact f32 operands; the
+    slot-BATCHED tree/verify forward (npad >= ~128) is f32-MXU
+    COMPUTE-bound — measured 95 ms for the B=4 tree forward at 8B geometry
+    against a ~10 ms weight stream (scripts/profile_eagle_pool.py). int8
+    codes are exactly representable in bf16; only the activation rounding
+    changes."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -63,8 +70,10 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs, n_in_blocks,
     codes = codes.reshape(gpb, gs, out_blk)
     scale = _scale_slice(s_ref, gpb, n_in_blocks, stacked=stacked)
     w = (codes * scale[:, None, :]).reshape(in_blk, out_blk)
-    acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
-                          preferred_element_type=jnp.float32)
+    xb = x_ref[:].astype(jnp.float32)
+    if mxu_bf16:
+        w, xb = w.astype(jnp.bfloat16), xb.astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(xb, w, preferred_element_type=jnp.float32)
 
     @pl.when(i == n_in_blocks - 1)
     def _():
@@ -72,7 +81,7 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs, n_in_blocks,
 
 
 def _kernel_ln(x_ref, ln_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs,
-               n_in_blocks, eps, stacked=False):
+               n_in_blocks, eps, stacked=False, mxu_bf16=False):
     """int8 kernel with the RMS norm FUSED into the activation read: x_ref
     is the FULL raw [npad, din] activations (f32, unblocked — x is tiny);
     the kernel computes r = rsqrt(mean(x^2)+eps) per grid step (~npad*din
@@ -96,6 +105,8 @@ def _kernel_ln(x_ref, ln_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs,
     off = pl.multiple_of(i * in_blk, 128)       # block_in % 128 == 0 (int8)
     xb = (x_ref[:, pl.ds(off, in_blk)] * r
           * ln_ref[0, pl.ds(off, in_blk)][None, :])
+    if mxu_bf16:
+        w, xb = w.astype(jnp.bfloat16), xb.astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(xb, w, preferred_element_type=jnp.float32)
 
     @pl.when(i == n_in_blocks - 1)
@@ -104,7 +115,7 @@ def _kernel_ln(x_ref, ln_ref, w_ref, s_ref, o_ref, acc_ref, *, gpb, gs,
 
 
 def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
-                 gpb, gs_p, n_in_blocks, stacked=False):
+                 gpb, gs_p, n_in_blocks, stacked=False, mxu_bf16=False):
     """Nibble-packed int4 variant. Grid (out_blocks, in_blocks) over PACKED
     rows with SPLIT-HALF pairing (ops/linear.pack_int4): byte r holds input
     rows r (low nibble) and r + din/2 (high nibble), so the activation
@@ -150,10 +161,12 @@ def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
     # x planes may arrive bf16 (npad >= 32: activation tiles re-stream per
     # out-block and their DMA rivals the weight stream at verify-forward
     # row counts — gptq_matmul xdt); convert at use
-    acc_ref[:] += (jnp.dot(xe_ref[:].astype(jnp.float32), wl,
-                           preferred_element_type=jnp.float32)
-                   + jnp.dot(xm_ref[:].astype(jnp.float32), wh,
-                             preferred_element_type=jnp.float32))
+    xe, xm = xe_ref[:].astype(jnp.float32), xm_ref[:].astype(jnp.float32)
+    if mxu_bf16:
+        wl, wh = wl.astype(jnp.bfloat16), wh.astype(jnp.bfloat16)
+        xe, xm = xe.astype(jnp.bfloat16), xm.astype(jnp.bfloat16)
+    acc_ref[:] += (jnp.dot(xe, wl, preferred_element_type=jnp.float32)
+                   + jnp.dot(xm, wh, preferred_element_type=jnp.float32))
 
     @pl.when(i == n_in_blocks - 1)
     def _():
@@ -161,7 +174,8 @@ def _kernel_int4(xe_ref, xm_ref, w_ref, s_ref, o_ref, acc_ref, *,
 
 
 def _kernel_int4_ln(xf_ref, ln_ref, xe_ref, xm_ref, w_ref, s_ref, o_ref,
-                    acc_ref, *, gpb, gs_p, n_in_blocks, eps, stacked=False):
+                    acc_ref, *, gpb, gs_p, n_in_blocks, eps, stacked=False,
+                    mxu_bf16=False):
     """Nibble-packed int4 kernel with FUSED RMS norm AND the symmetric -8
     zero-correction folded in-kernel on the NORMED group sums (NEXT.md r3
     item 1: each in-block's groups are block-local, so the per-tile
@@ -190,8 +204,13 @@ def _kernel_int4_ln(xf_ref, ln_ref, xe_ref, xm_ref, w_ref, s_ref, o_ref,
     ln2 = ln_ref[:]                                           # [2, in_p]
     xe = xe_ref[:].astype(jnp.float32) * r * ln2[0][None, :]
     xo = xm_ref[:].astype(jnp.float32) * r * ln2[1][None, :]
-    acc_ref[:] += (jnp.dot(xe, wl, preferred_element_type=jnp.float32)
-                   + jnp.dot(xo, wh, preferred_element_type=jnp.float32))
+    if mxu_bf16:
+        wlm, whm = wl.astype(jnp.bfloat16), wh.astype(jnp.bfloat16)
+        xem, xom = xe.astype(jnp.bfloat16), xo.astype(jnp.bfloat16)
+    else:
+        wlm, whm, xem, xom = wl, wh, xe, xo
+    acc_ref[:] += (jnp.dot(xem, wlm, preferred_element_type=jnp.float32)
+                   + jnp.dot(xom, whm, preferred_element_type=jnp.float32))
     npad = xe.shape[0]
     xg_e = jnp.sum(xe.reshape(npad, gpb, gs_p), axis=2)       # [npad, gpb]
     xg_o = jnp.sum(xo.reshape(npad, gpb, gs_p), axis=2)
@@ -205,7 +224,7 @@ def _kernel_int4_ln(xf_ref, ln_ref, xe_ref, xm_ref, w_ref, s_ref, o_ref,
 
 
 def _out_block_limit(packed: bool, block_in: int, npad: int,
-                     vmem_cap: int) -> int:
+                     vmem_cap: int, raw: bool = False) -> int:
     """Widest out-block (bytes-per-column model) under the VMEM working-set
     budget. Bigger blocks win decisively in the batch-1 decode regime: each
     pallas_call grid step carries a fixed ~9us launch/pipeline floor on v5e,
@@ -230,6 +249,8 @@ def _out_block_limit(packed: bool, block_in: int, npad: int,
         cap = 24 * 1024 * 1024
         limit = (cap - 4 * npad * block_in) // (2 * block_in + 16 * npad)
         limit = min(limit, vmem_cap // block_in)
+    if raw:
+        return limit        # feasibility checks need the unfloored value
     return max(128, limit // 128 * 128)
 
 
@@ -264,12 +285,12 @@ def _pick_block_in(din: int, gs: int, target: int = 8192) -> int:
 
 @functools.partial(jax.jit, static_argnames=("block_out", "block_in",
                                              "interpret", "vmem_cap_mb",
-                                             "ln_eps"))
+                                             "ln_eps", "mxu_bf16"))
 def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
                 block_in: int = 0, interpret: bool = False,
                 vmem_cap_mb: int = 8,
                 layer_index=None, ln: jax.Array = None,
-                ln_eps: float = 1e-6) -> jax.Array:
+                ln_eps: float = 1e-6, mxu_bf16: bool = False) -> jax.Array:
     """y = x @ dequant(qw). x: [..., in]; returns [..., out] in x.dtype.
 
     ln: optional RMS-norm weight [in] — fuses y = rmsnorm(x, ln) @ dequant
@@ -402,12 +423,13 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
             args = [x2.astype(jnp.float32), ln2, xe, xo, qw.qweight, s3]
             kern = functools.partial(_kernel_int4_ln, gpb=gpb, gs_p=gs_k,
                                      n_in_blocks=n_in_blocks, eps=ln_eps,
-                                     stacked=stacked)
+                                     stacked=stacked, mxu_bf16=mxu_bf16)
         else:
             in_specs = [x_spec, x_spec, w_spec, s3_spec]
             args = [xe, xo, qw.qweight, s3]
             kern = functools.partial(_kernel_int4, gpb=gpb, gs_p=gs_k,
-                                     n_in_blocks=n_in_blocks, stacked=stacked)
+                                     n_in_blocks=n_in_blocks, stacked=stacked,
+                                     mxu_bf16=mxu_bf16)
     elif fuse_ln:
         ln1_spec = pl.BlockSpec((1, din), c_map, memory_space=pltpu.VMEM)
         in_specs = [xfull_spec, ln1_spec, w_spec, s_spec]
@@ -415,12 +437,13 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
                 qw.qweight, qw.scales]
         kern = functools.partial(_kernel_ln, gpb=gpb, gs=gs,
                                  n_in_blocks=n_in_blocks, eps=ln_eps,
-                                 stacked=stacked)
+                                 stacked=stacked, mxu_bf16=mxu_bf16)
     else:
         in_specs = [x_spec, w_spec, s_spec]
         args = [x2, qw.qweight, qw.scales]
         kern = functools.partial(_kernel, gpb=gpb, gs=gs,
-                                 n_in_blocks=n_in_blocks, stacked=stacked)
+                                 n_in_blocks=n_in_blocks, stacked=stacked,
+                                 mxu_bf16=mxu_bf16)
 
     out_spec = pl.BlockSpec((npad, block_out), o_map, memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((npad, block_out), jnp.float32)]
@@ -484,6 +507,26 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
             corr = xg @ (z * scales.astype(jnp.float32))
         out = out - corr.astype(out.dtype)
     return out[:n].reshape(*lead, dout)
+
+
+def batched_rows_ok(x: jax.Array, qw: QuantizedLinear,
+                    vmem_cap_mb: int = 8) -> bool:
+    """Feasibility check for the BATCHED-row regime (rows > 128, bf16-MXU
+    serving path): with the wide f32 x tile in the VMEM budget, does a
+    legal (>= 128) out-block survive? Mirrors gptq_matmul's auto-pick."""
+    import math
+    packed = qw.qweight.dtype == jnp.uint8
+    rows = qw.qweight.shape[-2]
+    din = 2 * rows if packed else rows
+    groups = qw.scales.shape[-2]
+    gs_k = din // groups
+    n = math.prod(x.shape[:-1])
+    npad = max(8, ((n + 7) // 8) * 8)
+    block_in = (_pick_block_in_packed(rows, gs_k) if packed
+                else _pick_block_in(rows, gs_k))
+    block_in = min(block_in, rows)
+    return _out_block_limit(packed, block_in, npad,
+                            vmem_cap_mb * 1024 * 1024, raw=True) >= 128
 
 
 def pallas_supported(x: jax.Array, qw: QuantizedLinear) -> bool:

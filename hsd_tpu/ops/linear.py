@@ -190,12 +190,13 @@ import os as _os
 GPTQ_PATH = _os.environ.get("HSD_TPU_GPTQ_PATH", "auto")
 
 
-def _use_pallas(x, w, path: Optional[str] = None) -> bool:
+def _use_pallas(x, w, path: Optional[str] = None,
+                mxu_bf16: bool = False) -> bool:
     path = path if path not in (None, "auto") else GPTQ_PATH
     if path == "xla":
         return False
     try:
-        from .gptq_pallas import pallas_supported
+        from .gptq_pallas import batched_rows_ok, pallas_supported
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         return False
@@ -209,9 +210,19 @@ def _use_pallas(x, w, path: Optional[str] = None) -> bool:
     # weight-streaming matvec; at prefill row counts (x rows > 128) the
     # matmul is compute-bound and the full-row x tiles bust VMEM at 14B
     # out-dims, so large-N goes to XLA's fused int8 einsum.
+    #
+    # EXCEPT with bf16 MXU operands (slot-batched serving): the kernel
+    # stays stream-bound up to ~1k rows, while the XLA stacked-layer route
+    # pays a materialized dynamic-slice copy + a dequantize-then-dot bf16
+    # temp — measured 95 ms for the B=4 (240-row) tree forward at 8B
+    # geometry vs a ~10 ms weight stream (scripts/profile_eagle_pool.py).
     import math
     n_rows = math.prod(x.shape[:-1])
-    return on_tpu and n_rows <= 128 and pallas_supported(x, w)
+    if not (on_tpu and pallas_supported(x, w)):
+        return False
+    if n_rows <= 128:
+        return True
+    return mxu_bf16 and n_rows <= 1024 and batched_rows_ok(x, w)
 
 
 def _rms_xla(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -223,7 +234,7 @@ def _rms_xla(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
                  layer: Optional[jax.Array] = None,
                  path: Optional[str] = None,
-                 rms=None) -> jax.Array:
+                 rms=None, mxu_bf16: bool = False) -> jax.Array:
     """y = x @ w (+ b) for dense arrays or QuantizedLinear pytrees.
 
     layer: for a LAYER-STACKED QuantizedLinear (qweight [L, in, out]), select
@@ -236,7 +247,10 @@ def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
     rms: optional (norm_weight [in], eps) — y = rmsnorm(x) @ w. On the
     symmetric-quantized Pallas path the norm FUSES into the kernel's
     activation read (kills the per-layer norm kernels' ~21us launch floors,
-    ~1.9ms of the 48-layer decode); every other path norms in XLA first."""
+    ~1.9ms of the 48-layer decode); every other path norms in XLA first.
+    mxu_bf16: Pallas path only — bf16 MXU operands with f32 accumulation
+    for the compute-bound batched-row regime (ModelConfig.gptq_mxu_bf16;
+    the XLA fallback stays f32, which is what the parity tests pin)."""
     rms_w, rms_eps = rms if rms is not None else (None, 0.0)
     if isinstance(w, QuantizedLinear):
         if w.perm is not None:
@@ -253,7 +267,7 @@ def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
             w = w._replace(perm=None)
         # interpret-mode keeps forced-pallas testable on the CPU mesh
         interp = jax.default_backend() != "tpu"
-        use_pl = _use_pallas(x, w, path)
+        use_pl = _use_pallas(x, w, path, mxu_bf16=mxu_bf16)
         fuse = use_pl and rms_w is not None and w.zeros is None
         if rms_w is not None and not fuse:
             x = _rms_xla(x, rms_w, rms_eps)
@@ -262,7 +276,7 @@ def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
             if use_pl:
                 from .gptq_pallas import gptq_matmul
                 y = gptq_matmul(x, w, layer_index=layer, interpret=interp,
-                                **ln_kw)
+                                mxu_bf16=mxu_bf16, **ln_kw)
             else:
                 sliced = jax.tree.map(
                     lambda a: jax.lax.dynamic_index_in_dim(
@@ -270,7 +284,8 @@ def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
                 y = _gptq_matmul_xla(x, sliced)
         elif use_pl:
             from .gptq_pallas import gptq_matmul
-            y = gptq_matmul(x, w, interpret=interp, **ln_kw)
+            y = gptq_matmul(x, w, interpret=interp, mxu_bf16=mxu_bf16,
+                            **ln_kw)
         else:
             y = _gptq_matmul_xla(x, w)
     else:

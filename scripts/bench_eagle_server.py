@@ -52,6 +52,7 @@ from hsd_tpu.models.eagle import EagleConfig
 SLOTS_LIST = [int(s) for s in
               os.environ.get("ESRV_SLOTS", "1,2,4").split(",")]
 BATCHED = bool(int(os.environ.get("ESRV_BATCHED", "1")))
+MACRO = int(os.environ.get("ESRV_MACRO", "4"))
 MAX_NEW = int(os.environ.get("ESRV_NEW", 96))
 REQS_PER_SLOT = int(os.environ.get("ESRV_REQS_PER_SLOT", 3))
 _LAYERS = int(os.environ.get("ESRV_LAYERS", 0))
@@ -61,7 +62,11 @@ BUCKET = int(os.environ.get("ESRV_BUCKET", 64))
 BE_TARGET = float(os.environ.get("ESRV_BE_TARGET", 3.61))
 
 CFG = ModelConfig.llama3_8b(**({"num_layers": _LAYERS} if _LAYERS else {}))
-CFG = dataclasses.replace(CFG, eos_token_id=CFG.vocab_size)  # no early eos
+# no early eos; bf16 MXU operands in the quantized kernels when slot-
+# batched (the pool's tree forward is f32-MXU compute-bound otherwise)
+CFG = dataclasses.replace(
+    CFG, eos_token_id=CFG.vocab_size,
+    gptq_mxu_bf16=bool(int(os.environ.get("ESRV_BF16", "1"))) and BATCHED)
 ECFG = EagleConfig(
     hidden_size=CFG.hidden_size, target_hidden_size=CFG.hidden_size,
     num_heads=CFG.num_heads, num_kv_heads=CFG.num_kv_heads,
@@ -127,7 +132,8 @@ def main():
                              bucket=BUCKET, params_t=target, params_e=head,
                              mode=MODE, seed=1,
                              admit_batch=min(4, n_slots),
-                             target_forward=tfwd, batched=BATCHED)
+                             target_forward=tfwd, batched=BATCHED,
+                             steps_per_dispatch=MACRO if BATCHED else 1)
         # warm: one short request through admit+step+harvest
         se.submit(10_000, rng.integers(10, 1000, (BUCKET,)).tolist(),
                   max_new=4)
@@ -160,7 +166,7 @@ def main():
         "vs_baseline": round(best / base, 3),
         "context": {
             "per_slots": rows, "mode": MODE, "batched": BATCHED,
-            "lam": round(lam, 3),
+            "macro": MACRO if BATCHED else 1, "lam": round(lam, 3),
             "scale": SCALE, "max_new": MAX_NEW,
             "setup": f"llama3-8B-geometry int8 coupled target "
                      f"({CFG.num_layers} layers), v1 bigram-oracle head, "

@@ -44,7 +44,9 @@ BUCKET = 64
 MAX_NEW = 96
 
 CFG = ModelConfig.llama3_8b(**({"num_layers": _LAYERS} if _LAYERS else {}))
-CFG = dataclasses.replace(CFG, eos_token_id=CFG.vocab_size)
+CFG = dataclasses.replace(
+    CFG, eos_token_id=CFG.vocab_size,
+    gptq_mxu_bf16=bool(int(os.environ.get("PEP_BF16", "1"))))
 ECFG = EagleConfig(
     hidden_size=CFG.hidden_size, target_hidden_size=CFG.hidden_size,
     num_heads=CFG.num_heads, num_kv_heads=CFG.num_kv_heads,
@@ -83,49 +85,77 @@ def main():
                                  target_forward=tfwd)
     prompt = (jnp.arange(BUCKET, dtype=jnp.int32) % 1000) + 10
 
+    # params ride as ARGUMENTS, never closure constants (engine/server.py
+    # lesson: closed-over weights embed into the serialized HLO — observed
+    # here as a 10.4GB captured-constants lowering stall)
+    def pf(tgt_p, head_p, p, n, k):
+        t, l, tc, ek, fb, _ = prefill1(tgt_p, head_p, p, n, k)
+        return t, l, tc, ek, fb
+    pfj = jax.jit(jax.vmap(pf, in_axes=(None, None, None, None, 0)))
+
+    def beam(head_p, ek, fb, tok, ln):
+        return jax.vmap(absorb, in_axes=(None, 0, 0, 0, 0))(
+            head_p, ek, fb, tok, ln - 1)
+    beamj = jax.jit(beam)
+
+    def tgt(tgt_p, tc, dtok, mask, pids, lens_):
+        bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+        base = lens_ - 1
+        pos = pids + (base - tc.start)[:, None]
+        return tfwd(tgt_p, dtok, tc, bias, pos, lengths=base,
+                    staging_at=tc.max_len - (ECFG.total_tokens + 1))
+    tgtj = jax.jit(tgt)
+
+    def tgt_uniform(tgt_p, tc, dtok, mask, pids, lens_):
+        """Variant: all rows share ONE frontier (scalar cache.length, the
+        pre-existing tree path batched over B) — isolates the cost of the
+        per-row lengths/staging machinery from batched tree attention
+        itself. Only valid when all lens_ are equal (the profiler prefills
+        identical prompts)."""
+        bias = jnp.where(mask[0], 0.0, -1e30).astype(jnp.float32)
+        base = lens_ - 1
+        pos = pids + (base - tc.start)[:, None]
+        tc = tc._replace(length=base[0])
+        return tfwd(tgt_p, dtok, tc, bias, pos)
+    tgt_uj = jax.jit(tgt_uniform)
+
+    from hsd_tpu.engine.kvcache import compact_path_staged
+
+    def rest(tl, tr, tf, tok, ln, tc, fb, ks):
+        probs = temp(tl)
+        kk = jax.vmap(jax.random.split)(ks)
+        (tok2, ln2, acc, plen, he, sel, nc, fb2) = jax.vmap(commit)(
+            tr, probs, tf, tok, ln, kk[:, 0], kk[:, 1], fb)
+        tc = compact_path_staged(tc, sel, nc, ln - 1,
+                                 src_base=tc.max_len
+                                 - (ECFG.total_tokens + 1))
+        return tok2, ln2, acc, tc, fb2
+    restj = jax.jit(rest)
+    pbj = jax.jit(pool_block)
+    NSTG = ECFG.total_tokens + 1
+
     for B in SLOTS:
-        # B prefilled slots, batched cache layout
-        def pf(p, n, k):
-            t, l, tc, ek, fb, _ = prefill1(target, head, p, n, k)
-            return t, l, tc, ek, fb
-        toks, lens, tcs, eks, fbs = jax.jit(jax.vmap(
-            pf, in_axes=(None, None, 0)))(prompt, jnp.int32(BUCKET),
-                                          jax.random.split(key, B))
-        tcache = KVCache(k=jnp.moveaxis(tcs.k[:, :, 0], 0, 1),
-                         v=jnp.moveaxis(tcs.v[:, :, 0], 0, 1),
-                         length=jnp.int32(0), start=tcs.start[:, 0])
+        # B prefilled slots, batched cache layout + staging tail
+        toks, lens, tcs, eks, fbs = pfj(target, head, prompt,
+                                        jnp.int32(BUCKET),
+                                        jax.random.split(key, B))
+        pad = ((0, 0), (0, 0), (0, NSTG), (0, 0), (0, 0))
+        tcache = KVCache(
+            k=jnp.moveaxis(jnp.pad(tcs.k[:, :, 0], pad), 0, 1),
+            v=jnp.moveaxis(jnp.pad(tcs.v[:, :, 0], pad), 0, 1),
+            length=jnp.int32(0), start=tcs.start[:, 0])
         keys = jax.random.split(jax.random.fold_in(key, 7), B)
 
-        # phase 1: vmapped beam
-        beam = jax.jit(lambda ek, fb, tok, ln: jax.vmap(
-            absorb, in_axes=(None, 0, 0, 0, 0))(head, ek, fb, tok, ln - 1))
-        t_beam, (trie, eks2) = timeit(beam, eks, fbs, toks, lens)
-
-        # phase 2: batched target forward
-        def tgt(tc, dtok, mask, pids, lens_):
-            bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
-            base = lens_ - 1
-            pos = pids + (base - tc.start)[:, None]
-            return tfwd(target, dtok, tc, bias, pos, lengths=base)
-        tgtj = jax.jit(tgt)
+        t_beam, (trie, eks2) = timeit(beamj, head, eks, fbs, toks, lens)
         t_tgt, (tlogits, tcache2, tfeats) = timeit(
-            tgtj, tcache, trie.draft_tokens, trie.tree_mask,
+            tgtj, target, tcache, trie.draft_tokens, trie.tree_mask,
             trie.position_ids, lens)
-
-        # phase 3: verify/commit + compaction
-        def rest(tl, tr, tf, tok, ln, tc, fb, ks):
-            probs = temp(tl)
-            kk = jax.vmap(jax.random.split)(ks)
-            (tok2, ln2, acc, plen, he, sel, nc, fb2) = jax.vmap(commit)(
-                tr, probs, tf, tok, ln, kk[:, 0], kk[:, 1], fb)
-            tc = compact_path_batched(tc, sel, nc, ln - 1)
-            return tok2, ln2, acc, tc, fb2
-        restj = jax.jit(rest)
+        t_tgtu, _ = timeit(
+            tgt_uj, target, tcache, trie.draft_tokens, trie.tree_mask,
+            trie.position_ids, lens)
+        print(f"B={B}: target-uniform {t_tgtu*1e3:7.2f} ms", flush=True)
         t_rest, _ = timeit(restj, tlogits, trie, tfeats, toks, lens,
                            tcache2, fbs, keys)
-
-        # full pool block for cross-check
-        pbj = jax.jit(pool_block)
         t_full, _ = timeit(pbj, target, head, toks, lens, tcache, eks,
                            fbs, keys)
 

@@ -100,6 +100,36 @@ def test_eagle_server_late_submission(models):
     assert sorted(r.rid for r in out) == [0, 1, 2]
 
 
+def test_eagle_server_macro_steps_greedy_matches_ar(models):
+    """steps_per_dispatch>1 (multiple pool blocks per jitted dispatch,
+    on-device done-masking + early exit) preserves the greedy==AR
+    invariant and the per-request budgets across interleaved admissions."""
+    pt, pe = models
+    eng = EngineConfig(max_new_tokens=10, temperature=0.0)
+    se = EagleSlotEngine(TCFG, ECFG, eng, n_slots=2, bucket=16,
+                         params_t=pt, params_e=pe, mode="greedy", seed=3,
+                         steps_per_dispatch=3)
+    budgets = [10, 4, 7, 10, 5, 10]
+    for rid, (p, mn) in enumerate(zip(_prompts(), budgets)):
+        se.submit(rid, p, max_new=mn)
+    done = se.run_all()
+    assert sorted(r.rid for r in done) == list(range(6))
+    ar = make_autoregressive(TCFG, EngineConfig(max_new_tokens=12,
+                                                temperature=0.0))
+    for r in done:
+        prompt = _prompts()[r.rid]
+        padded = jnp.asarray([0] * (16 - len(prompt)) + prompt, jnp.int32)
+        t_ar, l_ar = ar(pt, padded, jnp.int32(len(prompt)),
+                        jax.random.PRNGKey(9))
+        want = np.asarray(t_ar)[16:int(l_ar)]
+        got = np.asarray(r.out_tokens)
+        n = min(len(got), len(want), budgets[r.rid])
+        assert n >= 1
+        np.testing.assert_array_equal(got[:n], want[:n],
+                                      err_msg=f"rid {r.rid}")
+        assert len(got) <= budgets[r.rid]
+
+
 def test_eagle_server_batched_matches_vmapped(models):
     """The slot-batched pool (ONE target forward with per-row lengths +
     batched compaction) reproduces the fully-vmapped per-slot pool's

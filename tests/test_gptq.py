@@ -320,3 +320,52 @@ def test_auto_block_out_prefers_wide_ragged():
     # int8 at 0.5B-head geometry: rows=896
     limit8 = _out_block_limit(False, 896, 8, 8 * 1024 * 1024)
     assert limit8 > 128 and limit8 % 128 == 0
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_mxu_bf16_kernel_close_to_xla(bits):
+    """bf16-MXU operand mode (slot-batched serving, ModelConfig.
+    gptq_mxu_bf16): same math as the f32 kernel within bf16 rounding.
+    Codes are bf16-exact; only activation/dequant-product rounding moves."""
+    w, qw, _ = _mk(jax.random.PRNGKey(70), din=512, dout=512, bits=bits,
+                   symmetric=True)
+    x = jax.random.normal(jax.random.PRNGKey(71), (160, 512), jnp.float32)
+    # int4 stores UNSIGNED nibbles (0..15): the bf16 products are ~2x the
+    # logical |code|<=8 magnitudes and the -8 fold subtracts two rounded
+    # sums, so its absolute error doubles vs int8 (still ~bf16 eps * sqrt
+    # of the 512-term reduction)
+    tol = dict(rtol=2e-2, atol=2e-2) if bits == 8 else \
+        dict(rtol=5e-2, atol=8e-2)
+    want = x @ dequantize(qw, jnp.float32)
+    got = gptq_matmul(x, qw, block_out=256, block_in=256, interpret=True,
+                      mxu_bf16=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **tol)
+    # fused-norm variants too (the serving forward runs them)
+    from hsd_tpu.models.transformer import rms_norm
+    g = jnp.abs(jax.random.normal(jax.random.PRNGKey(72), (512,))) + 0.5
+    want_ln = rms_norm(x, g, 1e-6).astype(jnp.float32) @ dequantize(
+        qw, jnp.float32)
+    got_ln = gptq_matmul(x, qw, block_out=256, block_in=256, interpret=True,
+                         mxu_bf16=True, ln=g, ln_eps=1e-6)
+    np.testing.assert_allclose(np.asarray(got_ln), np.asarray(want_ln),
+                               **tol)
+
+
+def test_batched_rows_gate():
+    """The bf16-MXU serving gate (_use_pallas + batched_rows_ok): feasible
+    8B-decode shapes pass at tree-forward row counts; shapes whose wide x
+    tile leaves no legal out-block under the VMEM budget are rejected."""
+    from hsd_tpu.ops.gptq_pallas import batched_rows_ok
+    qw = QuantizedLinear(
+        qweight=jnp.zeros((4096, 6144), jnp.int8),
+        scales=jnp.ones((32, 6144), jnp.float32), zeros=None)
+    assert batched_rows_ok(jnp.zeros((240, 4096), jnp.float32), qw)
+    assert batched_rows_ok(jnp.zeros((960, 4096), jnp.float32), qw)
+    # 14B gu shape at prefill row counts: the f32 x tile alone exceeds the
+    # working budget -> no legal out-block (1024 rows squeaks by at
+    # limit=157; _use_pallas caps rows at 1024 anyway)
+    qw14 = QuantizedLinear(
+        qweight=jnp.zeros((5120, 27648), jnp.int8),
+        scales=jnp.ones((40, 27648), jnp.float32), zeros=None)
+    assert batched_rows_ok(jnp.zeros((1024, 5120), jnp.float32), qw14)
+    assert not batched_rows_ok(jnp.zeros((1280, 5120), jnp.float32), qw14)

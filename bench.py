@@ -141,7 +141,11 @@ def calibrate_scale(gen_tok, key, target_be=6.0, probes=4):
 def _serving_row(params_d, params_t, n_slots=4, reqs=24, srv_max_new=48):
     """Continuous-vs-lockstep serving comparison on the 0.5B pair
     (heterogeneous budgets — the regime continuous batching exists for).
-    Returns {cont_tok_s, lock_tok_s, ratio, be}."""
+    BOTH engines macro-step (steps_per_dispatch=4): each jitted dispatch +
+    fetch costs a flat ~22 ms on the relay backend
+    (scripts/probe_dispatch_floor.py), which at M=1 rivaled the 0.5B block
+    itself and drowned the comparison. Returns
+    {cont_tok_s, lock_tok_s, ratio, be}."""
     import numpy as _np
 
     from hsd_tpu.engine.server import SlotEngine
@@ -157,7 +161,8 @@ def _serving_row(params_d, params_t, n_slots=4, reqs=24, srv_max_new=48):
 
     def build():
         e = SlotEngine(CFG_S, CFG_S, eng_cfg, n_slots=n_slots, bucket=64,
-                       params_d=params_d, params_t=params_t)
+                       params_d=params_d, params_t=params_t,
+                       steps_per_dispatch=4)
         e.submit(10_000, ps[0][0], max_new=8)   # warm ALL paths
         e.step()
         e.run_all()
@@ -285,6 +290,56 @@ def _realistic_row(key):
         "alpha": st["alpha"], "frac_hard_disagree": st["frac_hard_disagree"],
         "target_ce": round(tce, 3), "distill_ce": round(dce, 3),
     }
+
+
+def _eagle_serving_row(key, n_slots=8, reqs=16, max_new=64):
+    """EAGLE continuous-batching throughput at Llama-3.1-8B geometry
+    (engine/eagle_server, batched pool: staged tree KV + bf16-MXU kernels
+    + macro-steps — r4). MUST run after the 14B pair is freed: the int8 8B
+    coupled target is ~9 GB on its own. lam is pinned at the r4
+    single-request calibration value (reference-rule BE 3.61 regime); the
+    row records its own measured BE. Full slot sweep + A/B lives in
+    scripts/bench_eagle_server.py."""
+    import dataclasses
+
+    from hsd_tpu.engine.eagle_server import EagleSlotEngine
+    from hsd_tpu.eval.synthetic import (build_coupled_eagle_pair,
+                                        make_coupled_eagle_target)
+    from hsd_tpu.models.eagle import EagleConfig
+
+    cfg = ModelConfig.llama3_8b()
+    cfg = dataclasses.replace(cfg, eos_token_id=cfg.vocab_size,
+                              gptq_mxu_bf16=True)
+    ecfg = EagleConfig(
+        hidden_size=cfg.hidden_size, target_hidden_size=cfg.hidden_size,
+        num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
+        vocab_size=cfg.vocab_size, draft_vocab_size=32000,
+        intermediate_size=cfg.intermediate_size, rope_theta=cfg.rope_theta,
+        top_k=10, depth=6, total_tokens=59, version=1)
+    head, target = build_coupled_eagle_pair(key, cfg, ecfg, scale=6.0,
+                                            lam=1.312, big_bits=8)
+    jax.block_until_ready(target.big.layers["wdown"].qweight)
+    tfwd = make_coupled_eagle_target(cfg, (-1,))
+    eng_cfg = EngineConfig(max_new_tokens=max_new, temperature=1.0)
+    se = EagleSlotEngine(cfg, ecfg, eng_cfg, n_slots=n_slots, bucket=64,
+                         params_t=target, params_e=head, mode="hsd_ref",
+                         seed=1, target_forward=tfwd,
+                         steps_per_dispatch=4)
+    rng = np.random.default_rng(0)
+    se.submit(10_000, rng.integers(10, 1000, (64,)).tolist(), max_new=4)
+    se.run_all()                                   # warm all paths
+    for rid in range(reqs):
+        n = int(rng.integers(32, 64))
+        se.submit(rid, rng.integers(10, 1000, (n,)).tolist(),
+                  max_new=max_new)
+    t0 = time.perf_counter()
+    done = se.run_all()
+    dt = time.perf_counter() - t0
+    toks = sum(len(r.out_tokens) for r in done)
+    return {"tok_s": round(toks / dt, 1),
+            "be": round(se.stats()["block_efficiency"], 3),
+            "slots": n_slots, "reqs": reqs, "mode": "hsd_ref",
+            "ref_h100_tok_s": 107.3}
 
 
 def _gsm8k_parity_row(key):
@@ -434,6 +489,20 @@ def main():
     n_ar = int(length) - 64                     # fetch inside timed region
     ar_tps = n_ar / (time.perf_counter() - t0)
 
+    # EAGLE serving row (r4 headline): needs the 14B pair FREED first —
+    # the 8B coupled EAGLE pair is ~9GB by itself
+    eagle_srv = None
+    if time.time() - _T0 < BUDGET_S + 900 and bool(int(
+            os.environ.get("BENCH_EAGLE_SERVING", "1"))):
+        try:
+            del draft, target
+            eagle_srv = _eagle_serving_row(jax.random.fold_in(key, 50))
+            print(f"[{time.time() - _T0:.0f}s] eagle_serving {eagle_srv}",
+                  flush=True)
+        except Exception as e:                        # noqa: BLE001
+            print(f"eagle serving row skipped: {type(e).__name__}: {e}",
+                  flush=True)
+
     be_hsd, tps_hsd, ci_hsd = results["hsd"]
     be_tok, tps_tok, ci_tok = results["tokenwise"]
     ctx = {
@@ -465,6 +534,8 @@ def main():
         ctx["realistic"] = realistic
     if parity is not None:
         ctx["gsm8k_parity"] = parity
+    if eagle_srv is not None:
+        ctx["eagle_serving_8b"] = eagle_srv
     print(json.dumps({
         "metric": "block_efficiency_hsd",
         "value": round(be_hsd, 3),

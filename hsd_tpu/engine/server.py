@@ -87,8 +87,14 @@ class SlotEngine:
                  engine: EngineConfig, n_slots: int, bucket: int,
                  params_d=None, params_t=None, seed: int = 0,
                  admit_batch: int = 4, target_forward=None,
-                 target_cache_ops=None):
+                 target_cache_ops=None, steps_per_dispatch: int = 1):
         self.cfg_d, self.cfg_t, self.engine = cfg_d, cfg_t, engine
+        # >1: run M speculative blocks per jitted dispatch (on-device
+        # done-masking + all-done early exit) — the per-dispatch host cost
+        # on the relay backend grows with the params-pytree leaf count
+        # (scripts/probe_dispatch_floor.py) and rivals a small-model block.
+        # Trade: a freed slot waits up to M-1 blocks for admission.
+        self.steps_per_dispatch = max(1, steps_per_dispatch)
         self.n_slots = n_slots
         self.bucket = bucket
         v = engine.verifier
@@ -205,9 +211,40 @@ class SlotEngine:
                     keep(blk2, blk_cnt), keep(dcache3, dcache),
                     keep(tcache3, tcache))
 
+        M = self.steps_per_dispatch
+
+        def macro_step(params_d, params_t, tokens, length, prompt_end,
+                       slot_max_new, active, acc_sum, blk_cnt, dcache,
+                       tcache, base_key):
+            """M speculative blocks per dispatch (same per-block math as
+            pool_step; per-block keys derived on device by fold_in)."""
+            def cond(st):
+                return (st[0] < M) & jnp.any(st[3])
+
+            def body(st):
+                (i, tokens, length, active, done_acc, acc_sum, blk_cnt,
+                 dcache, tcache) = st
+                ki = jax.random.fold_in(base_key, i)
+                keys = jax.vmap(lambda s: jax.random.fold_in(ki, s))(
+                    jnp.arange(n_slots))
+                (tokens, length, done2, acc_sum, blk_cnt, dcache,
+                 tcache) = pool_step(params_d, params_t, tokens, length,
+                                     prompt_end, slot_max_new, active,
+                                     acc_sum, blk_cnt, dcache, tcache,
+                                     keys)
+                return (i + 1, tokens, length, active & ~done2,
+                        done_acc | done2, acc_sum, blk_cnt, dcache, tcache)
+
+            st = (jnp.int32(0), tokens, length, active,
+                  jnp.zeros_like(active), acc_sum, blk_cnt, dcache, tcache)
+            (_, tokens, length, _, done_acc, acc_sum, blk_cnt, dcache,
+             tcache) = jax.lax.while_loop(cond, body, st)
+            return tokens, length, done_acc, acc_sum, blk_cnt, dcache, tcache
+
         # donate the big per-slot buffers: the step updates state in place
         # instead of allocating a second copy of every cache each step
-        self._step = jax.jit(pool_step, donate_argnums=(2, 3, 7, 8, 9, 10))
+        self._step = jax.jit(macro_step if M > 1 else pool_step,
+                             donate_argnums=(2, 3, 7, 8, 9, 10))
 
         def prefill_batch(params_d, params_t, prompts, prompt_lens):
             """Prefill a BATCH of admissions in one program: prompts
@@ -377,7 +414,8 @@ class SlotEngine:
         if all(r < 0 for r in self.slot_rid):
             return []
         self.key, k = jax.random.split(self.key)
-        keys = jax.random.split(k, self.n_slots)
+        keys = (k if self.steps_per_dispatch > 1
+                else jax.random.split(k, self.n_slots))
         st = self.state
         (tokens, length, done, acc_sum, blk_cnt, dcache, tcache) = self._step(
             self.params_d, self.params_t, st.tokens, st.length,

@@ -223,3 +223,25 @@ def test_per_request_budget_frees_slot_early():
     assert len(r0.out_tokens) <= 2
     assert r0.blocks <= 2, r0.blocks          # stopped at ITS budget
     assert step0 < step1                      # freed before the long one
+
+
+def test_macro_steps_budgets_and_completion():
+    """steps_per_dispatch>1 in the sequential SlotEngine: all requests
+    complete, per-request budgets hold, and telemetry stays consistent
+    (done-masking runs ON DEVICE between the macro'd blocks)."""
+    pd = init_params(CFG, jax.random.PRNGKey(0))
+    pt = init_params(CFG, jax.random.PRNGKey(1))
+    eng_cfg = EngineConfig(verifier=VerifierConfig(method="hsd", gamma=3),
+                           max_new_tokens=8)
+    eng = SlotEngine(CFG, CFG, eng_cfg, n_slots=2, bucket=16,
+                     params_d=pd, params_t=pt, steps_per_dispatch=3)
+    budgets = [8, 2, 5, 8, 3]
+    for rid, mn in enumerate(budgets):
+        eng.submit(rid, list(range(1, 9 + rid)), max_new=mn)
+    done = eng.run_all()
+    assert sorted(r.rid for r in done) == list(range(5))
+    for r in done:
+        assert 1 <= len(r.out_tokens) <= budgets[r.rid]
+        assert r.blocks >= 1
+    st = eng.stats()
+    assert st["committed"] == sum(len(r.out_tokens) for r in done)

@@ -148,6 +148,57 @@ def make_tp_eagle_forward(cfg: ModelConfig, params: ModelParams,
         check_vma=False)
 
 
+def make_tp_eagle_pool_forward(cfg: ModelConfig, params: ModelParams,
+                               feature_layers: Tuple[int, ...]):
+    """Slot-BATCHED shard_map target forward for the EAGLE serving pool
+    (`engine.eagle_engine.make_eagle_pool` /
+    `EagleSlotEngine(batched=True, target_forward=...)`): the 6-arg pool
+    signature `(params, tokens [B, T], cache, attn_bias [B, T, T],
+    positions [B, T], lengths=[B], staging_at=int)` running
+    transformer.forward on local Megatron shards.
+
+    Per-row frontiers (`lengths`) and the staged tree-KV placement are
+    head-LOCAL operations — the uniform staging append and the
+    staging->frontier compaction touch only the sequence axis of the
+    kv-head-sharded cache — so the pool composes with TP at exactly the
+    Megatron collectives of the single-request path (hidden psums; logits
+    return vocab-sharded). `staging_at` is a static python int, so the
+    shard_map closes over it per call (the pool step is jitted — this
+    traces once per staging size). The engine's admission prefill calls
+    this with the 5-arg form (no lengths/staging), which routes to the
+    plain scalar-frontier path."""
+    assert params.lm_head is not None, \
+        "shard_map TP requires an untied lm_head (vocab shards)"
+    assert "wqkv" not in params.layers, "TP runs keep the unfused layout"
+    pspecs = tp_param_specs(params)
+    cspecs = cache_specs()
+    rep = P()
+
+    out_specs = (P(None, None, MODEL_AXIS), cspecs, rep)
+
+    def fwd(p, tokens, cache, attn_bias, positions, lengths=None,
+            staging_at=None):
+        if lengths is None:
+            # 5-arg prefill form: scalar cache frontier, no staging
+            return jax.shard_map(
+                lambda p_, t_, c_, ab_, pos_: transformer.forward(
+                    cfg, p_, t_, c_, attn_bias=ab_, positions=pos_,
+                    feature_layers=feature_layers, tp_axis=MODEL_AXIS),
+                in_specs=(pspecs, rep, cspecs, rep, rep),
+                out_specs=out_specs, check_vma=False)(
+                p, tokens, cache, attn_bias, positions)
+        return jax.shard_map(
+            lambda p_, t_, c_, ab_, pos_, lens_: transformer.forward(
+                cfg, p_, t_, c_, attn_bias=ab_, positions=pos_,
+                feature_layers=feature_layers, tp_axis=MODEL_AXIS,
+                lengths=lens_, staging_at=staging_at),
+            in_specs=(pspecs, rep, cspecs, rep, rep, rep),
+            out_specs=out_specs, check_vma=False)(
+            p, tokens, cache, attn_bias, positions, lengths)
+
+    return fwd
+
+
 def make_tp_forward(cfg: ModelConfig, params: ModelParams,
                     feature_layers: Optional[Tuple[int, ...]] = None,
                     with_bias: bool = False):

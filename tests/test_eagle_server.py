@@ -152,3 +152,52 @@ def test_eagle_server_batched_matches_vmapped(models):
     for rid in outs[True]:
         np.testing.assert_array_equal(
             outs[True][rid], outs[False][rid], err_msg=f"rid {rid}")
+
+
+def test_eagle_server_batched_tp_token_parity():
+    """The slot-batched EAGLE pool drives a shard_map TP target
+    (parallel.tp.make_tp_eagle_pool_forward) with TOKEN PARITY vs the
+    unsharded batched pool: the staged tree-KV append and the
+    staging->frontier compaction are head-local on the kv-head-sharded
+    cache, so TP composes at exactly the Megatron collectives of the
+    single-request path. Same reduction-order caveat as
+    test_server_tp_token_parity (tie-free pinned seeds)."""
+    import dataclasses
+
+    from hsd_tpu.parallel import make_mesh
+    from hsd_tpu.parallel.tp import (make_tp_eagle_pool_forward,
+                                     shard_params_tp)
+
+    cfg_t = dataclasses.replace(
+        ModelConfig.tiny(vocab_size=64, hidden_size=32,
+                         intermediate_size=64, num_layers=2, num_heads=4,
+                         num_kv_heads=4, tie_word_embeddings=False),
+        dtype=jnp.float32)
+    ecfg = EagleConfig(hidden_size=32, target_hidden_size=32, num_heads=4,
+                       num_kv_heads=2, vocab_size=64, draft_vocab_size=64,
+                       intermediate_size=64, top_k=4, depth=3,
+                       total_tokens=11, dtype=jnp.float32,
+                       rope_theta=cfg_t.rope_theta)
+    pt = init_params(cfg_t, jax.random.PRNGKey(1))
+    pe = init_eagle_params(ecfg, jax.random.PRNGKey(2))
+    eng = EngineConfig(max_new_tokens=8, temperature=1.0)
+
+    def run_one(params_t, tfwd):
+        se = EagleSlotEngine(cfg_t, ecfg, eng, n_slots=2, bucket=16,
+                             params_t=params_t, params_e=pe, mode="hsd",
+                             seed=5, target_forward=tfwd)
+        for rid, p in enumerate(_prompts()[:4]):
+            se.submit(rid, p, max_new=8)
+        done = se.run_all()
+        return {r.rid: np.asarray(r.out_tokens).tolist() for r in done}
+
+    base = run_one(pt, None)
+    from hsd_tpu.engine.eagle_engine import default_feature_layers
+    mesh = make_mesh(data=2, model=4)
+    with jax.set_mesh(mesh):
+        spt = shard_params_tp(pt, mesh)
+        tp_out = run_one(spt, make_tp_eagle_pool_forward(
+            cfg_t, pt, default_feature_layers(cfg_t)))
+    assert sorted(base) == sorted(tp_out)
+    for rid in base:
+        assert base[rid] == tp_out[rid], (rid, base[rid], tp_out[rid])

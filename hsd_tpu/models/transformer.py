@@ -203,16 +203,17 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
 
 
-def _rope(x: jax.Array, positions: jax.Array, theta: float,
-          scaling=None) -> jax.Array:
-    """NeoX-style rotate-half RoPE. x: [B, T, H, d], positions: [B, T].
+def _rope_tables(positions: jax.Array, d: int, theta: float, scaling=None):
+    """Precompute the (cos, sin) rotation tables [B, T, 1, d/2] for a step's
+    positions ONCE — they are layer-invariant, but computing them inside the
+    layer scan body re-ran freqs/cos/sin twice per layer (96 tiny
+    transcendental ops per 48-layer decode step).
 
     scaling: optional Llama-3.1 frequency-dependent scaling tuple
     (factor, low_freq_factor, high_freq_factor, original_max_position) —
     long wavelengths (past the original context) are slowed by `factor`,
     short ones kept, with a smooth ramp between (HF LlamaConfig
     rope_scaling rope_type="llama3" semantics)."""
-    d = x.shape[-1]
     freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
     if scaling is not None:
         factor, lo_f, hi_f, orig = scaling
@@ -221,11 +222,22 @@ def _rope(x: jax.Array, positions: jax.Array, theta: float,
         smooth = jnp.clip(ramp, 0.0, 1.0)
         freqs = ((1.0 - smooth) * freqs / factor + smooth * freqs)
     angles = positions[..., None].astype(jnp.float32) * freqs  # [B, T, d/2]
-    cos = jnp.cos(angles)[:, :, None, :]
-    sin = jnp.sin(angles)[:, :, None, :]
+    return jnp.cos(angles)[:, :, None, :], jnp.sin(angles)[:, :, None, :]
+
+
+def _rope_apply(x: jax.Array, tables) -> jax.Array:
+    """Rotate-half with precomputed tables. x: [B, T, H, d]."""
+    cos, sin = tables
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(x.dtype)
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float,
+          scaling=None) -> jax.Array:
+    """NeoX-style rotate-half RoPE. x: [B, T, H, d], positions: [B, T]."""
+    return _rope_apply(x, _rope_tables(positions, x.shape[-1], theta,
+                                       scaling))
 
 
 def _attention(q, k, v, q_index, kv_length, start, attn_bias,
@@ -382,6 +394,9 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
     if positions is None:
         # RoPE positions discount the dead left-pad region
         positions = jnp.maximum(q_index - cache.start[:, None], 0)
+    # rotation tables are layer-invariant: build once OUTSIDE the layer scan
+    rope_tables = _rope_tables(positions, hd, cfg.rope_theta,
+                               cfg.rope_scaling)
 
     if hidden_in is not None:
         x = hidden_in.astype(cfg.dtype)
@@ -443,8 +458,8 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, Hkv, hd)
         v = v.reshape(B, T, Hkv, hd)
-        q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
-        k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
+        q = _rope_apply(q, rope_tables)
+        k = _rope_apply(k, rope_tables)
         if staging_at is not None:
             k_all, v_all = append_layer_stacked(k_all, v_all, idx,
                                                 jnp.int32(staging_at), k, v)

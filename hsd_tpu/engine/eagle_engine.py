@@ -326,8 +326,13 @@ def make_eagle_pool(cfg_t: ModelConfig, ecfg: EagleConfig,
     def pool_block(params_t, params_e: EagleParams, tokens, lengths,
                    tcache, ekv, feat_buf, keys):
         staging_at = tcache.max_len - (N + 1)
-        assert staging_at == tokens.shape[1], \
-            "pool cache must extend the token buffer by the staging region"
+        if staging_at != tokens.shape[1]:
+            # not a bare assert: under python -O a mis-sized pool cache
+            # would silently alias the staging tail over live KV entries
+            raise ValueError(
+                f"pool cache (max_len={tcache.max_len}) must extend the "
+                f"token buffer (S={tokens.shape[1]}) by the staging region "
+                f"(N+1={N + 1})")
         ks = jax.vmap(jax.random.split)(keys)            # [B, 2, 2]
         k1s, k2s = ks[:, 0], ks[:, 1]
 

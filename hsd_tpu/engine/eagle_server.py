@@ -78,6 +78,23 @@ class EagleSlotEngine:
         self.steps_per_dispatch = max(1, steps_per_dispatch)
         if self.steps_per_dispatch > 1 and not batched:
             raise ValueError("steps_per_dispatch>1 requires batched=True")
+        if batched and target_forward is not None:
+            # the batched pool calls target_forward(params, tokens, cache,
+            # attn_bias, positions, lengths=, staging_at=) — a 5-arg
+            # single-request forward (e.g. parallel.tp.make_tp_eagle_forward)
+            # would only fail at trace time with an opaque TypeError
+            import inspect
+            sig = inspect.signature(target_forward)
+            names = set(sig.parameters)
+            has_varkw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                            for p in sig.parameters.values())
+            if not has_varkw and not {"lengths", "staging_at"} <= names:
+                raise ValueError(
+                    "batched=True needs a slot-batched target_forward that "
+                    "accepts lengths= and staging_at= kwargs (got parameters "
+                    f"{sorted(names)}); pass batched=False for 5-arg "
+                    "single-request forwards, or use a pool-aware forward "
+                    "(e.g. parallel.tp.make_tp_eagle_pool_forward)")
         self._prefill1, self._block1, _, _ = make_eagle_block(
             cfg_t, ecfg, engine, mode=mode, target_forward=target_forward)
         if batched:
@@ -88,6 +105,14 @@ class EagleSlotEngine:
         self.state = self._init_state()
         self.total_committed = 0
         self.step_time = 0.0
+        # on-device staging (M>1): persistent refill stock for the macro
+        self._staged = None
+        self._staged_rids: List[int] = []
+        self._staged_n = 0
+        self._staged_consumed = 0
+        self._done_acc = 0
+        self._done_blk = 0
+        self.refilled_total = 0   # requests admitted via on-device refill
 
     # ---- jitted kernels ------------------------------------------------
     def _build(self):
@@ -142,18 +167,36 @@ class EagleSlotEngine:
 
         M = self.steps_per_dispatch
 
+        A_stage = self.admit_batch
+        bucket = self.bucket
+
         def macro_step(params_t, params_e, tokens, length, prompt_end,
                        slot_max_new, active, acc_sum, blk_cnt, tcache, ekv,
-                       feat_buf, base_key):
-            """M pool blocks per dispatch. Slots that finish (eos/budget)
-            are deactivated ON DEVICE so later iterations stop advancing
-            them; exits early when every slot is done."""
+                       feat_buf, st_tokens, st_length, st_max_new, st_k,
+                       st_v, st_start, st_ekv, st_fb, n_staged, consumed0,
+                       base_key, stop_on_free):
+            """M pool blocks per dispatch with ON-DEVICE SLOT REFILL (the
+            same scheme as server.SlotEngine.macro_step: staged prefilled
+            requests consumed in entry order; a freed slot snapshots its
+            finishing request into per-entry harvest buffers and takes the
+            next staged request in the same iteration — no admission
+            latency, no per-completion dispatch). st_k/st_v are staged
+            cache rows already padded to the pool's wide seq axis with the
+            slot axis at 1 ([L, A, S_wide, H, D] — the pool cache layout).
+            Exits early only when every slot is done, or when a slot frees
+            with the staging stock exhausted while the host still has
+            queued requests (stop_on_free)."""
             def cond(st):
-                return (st[0] < M) & jnp.any(st[3])
+                (i, _tok, _len, active, done_now, _mn, _acc, _blk, _tc,
+                 _ek, _fb, consumed, _asg, _ht, _hl, _ha, _hb) = st
+                starve = stop_on_free & jnp.any(done_now) & \
+                    (consumed >= n_staged)
+                return (i < M) & jnp.any(active) & ~starve
 
             def body(st):
-                (i, tokens, length, active, done_acc, acc_sum, blk_cnt,
-                 tcache, ekv, feat_buf) = st
+                (i, tokens, length, active, done_now, slot_mn, acc_sum,
+                 blk_cnt, tcache, ekv, feat_buf, consumed, assigned,
+                 h_tokens, h_length, h_acc, h_blk) = st
                 ki = jax.random.fold_in(base_key, i)
                 keys = jax.vmap(lambda s: jax.random.fold_in(ki, s))(
                     jnp.arange(n_slots))
@@ -161,26 +204,80 @@ class EagleSlotEngine:
                  feat_buf) = self._pool_block(params_t, params_e, tokens,
                                               length, tcache, ekv,
                                               feat_buf, keys)
-                budget = length2 - prompt_end >= slot_max_new
+                budget = length2 - prompt_end >= slot_mn
                 done2 = active & (hit_eos | budget)
                 keep = keep_for(active)
-                return (i + 1, keep(tokens2, tokens),
-                        keep(length2, length), active & ~done2,
-                        done_acc | done2, keep(acc_sum + acc_len, acc_sum),
-                        keep(blk_cnt + 1, blk_cnt), tcache, ekv, feat_buf)
+                tokens = keep(tokens2, tokens)
+                length = keep(length2, length)
+                acc_sum = keep(acc_sum + acc_len, acc_sum)
+                blk_cnt = keep(blk_cnt + 1, blk_cnt)
+                # ---- on-device refill of freed slots ----
+                freed = done2
+                rank = jnp.cumsum(freed.astype(jnp.int32)) - 1
+                entry = consumed + rank
+                can = freed & (entry < n_staged)
+                idx_h = jnp.where(can, entry, A_stage)  # OOB pad: dropped
+                h_tokens = h_tokens.at[idx_h].set(tokens)
+                h_length = h_length.at[idx_h].set(length)
+                h_acc = h_acc.at[idx_h].set(acc_sum)
+                h_blk = h_blk.at[idx_h].set(blk_cnt)
+                assigned = assigned.at[idx_h].set(
+                    jnp.arange(n_slots, dtype=jnp.int32))
+                e = jnp.clip(entry, 0, A_stage - 1)
+
+                def merge(slot_leaf, staged_leaf, axis=0):
+                    g = jnp.take(staged_leaf, e, axis=axis)
+                    shape = [1] * g.ndim
+                    shape[axis] = n_slots
+                    return jnp.where(jnp.reshape(can, shape), g, slot_leaf)
+
+                tokens = merge(tokens, st_tokens)
+                length = jnp.where(can, jnp.take(st_length, e), length)
+                slot_mn = jnp.where(can, jnp.take(st_max_new, e), slot_mn)
+                acc_sum = jnp.where(can, 0, acc_sum)
+                blk_cnt = jnp.where(can, 0, blk_cnt)
+                tcache = tcache._replace(
+                    k=merge(tcache.k, st_k, axis=1),
+                    v=merge(tcache.v, st_v, axis=1),
+                    start=jnp.where(can, jnp.take(st_start, e),
+                                    tcache.start))
+                ekv = jax.tree.map(merge, ekv, st_ekv)
+                feat_buf = jax.tree.map(merge, feat_buf, st_fb)
+                consumed = consumed + jnp.sum(can.astype(jnp.int32))
+                return (i + 1, tokens, length, (active & ~done2) | can,
+                        (done_now | done2) & ~can, slot_mn, acc_sum,
+                        blk_cnt, tcache, ekv, feat_buf, consumed, assigned,
+                        h_tokens, h_length, h_acc, h_blk)
 
             st = (jnp.int32(0), tokens, length, active,
-                  jnp.zeros_like(active), acc_sum, blk_cnt, tcache, ekv,
-                  feat_buf)
-            (_, tokens, length, _, done_acc, acc_sum, blk_cnt, tcache, ekv,
-             feat_buf) = jax.lax.while_loop(cond, body, st)
-            return (tokens, length, done_acc, acc_sum, blk_cnt, tcache,
-                    ekv, feat_buf)
+                  jnp.zeros_like(active), slot_max_new, acc_sum, blk_cnt,
+                  tcache, ekv, feat_buf, consumed0,
+                  jnp.full((A_stage,), -1, jnp.int32),
+                  jnp.zeros((A_stage, self.S), jnp.int32),
+                  jnp.zeros((A_stage,), jnp.int32),
+                  jnp.zeros((A_stage,), jnp.int32),
+                  jnp.zeros((A_stage,), jnp.int32))
+            (_, tokens, length, active, done_now, slot_mn, acc_sum,
+             blk_cnt, tcache, ekv, feat_buf, consumed, assigned, h_tokens,
+             h_length, h_acc, h_blk) = jax.lax.while_loop(cond, body, st)
+            return (tokens, length, active, done_now, slot_mn, acc_sum,
+                    blk_cnt, tcache, ekv, feat_buf, consumed, assigned,
+                    h_tokens, h_length, h_acc, h_blk)
 
         self._step = jax.jit(
             macro_step if M > 1 else
             (pool_step_batched if self.batched else pool_step),
             donate_argnums=(2, 3, 7, 8, 9, 10, 11))
+
+        def clear_slots(state_active, state_done, state_acc, state_blk,
+                        mask):
+            keep = ~mask
+            return (state_active & keep, state_done & keep,
+                    jnp.where(mask, 0, state_acc),
+                    jnp.where(mask, 0, state_blk))
+
+        self._clear_slots = jax.jit(clear_slots,
+                                    donate_argnums=(0, 1, 2, 3))
 
         def prefill_batch(params_t, params_e, prompts, prompt_lens, keys):
             """Batched admission prefill: one program per admission round
@@ -193,6 +290,17 @@ class EagleSlotEngine:
             return jax.vmap(one)(prompts, prompt_lens, keys)
 
         self._prefill_batch = jax.jit(prefill_batch)
+
+        def prep_staged(tc_new):
+            """Transform freshly-prefilled B=1 cache rows ([A, L, 1, S0,
+            H, D]) into the pool layout the macro's refill merge expects:
+            [L, A, S_wide, H, D], zero-padded by the staging tail."""
+            pad = ((0, 0), (0, 0), (0, self.N + 1), (0, 0), (0, 0))
+            st_k = jnp.moveaxis(jnp.pad(tc_new.k[:, :, 0], pad), 0, 1)
+            st_v = jnp.moveaxis(jnp.pad(tc_new.v[:, :, 0], pad), 0, 1)
+            return st_k, st_v, tc_new.start[:, 0]
+
+        self._prep_staged = jax.jit(prep_staged)
 
     def _init_state(self):
         # one throwaway prefill shapes the per-slot cache pytrees
@@ -297,6 +405,124 @@ class EagleSlotEngine:
                 feat_buf=put(st["feat_buf"], fb_new),
             )
 
+    def _empty_staged(self):
+        A = self.admit_batch
+        tc = self.state["tcache"]
+        zrow = lambda leaf: jnp.zeros((A,) + leaf.shape[1:], leaf.dtype)
+        st_k = jnp.zeros(tc.k.shape[:1] + (A,) + tc.k.shape[2:], tc.k.dtype)
+        st_v = jnp.zeros(tc.v.shape[:1] + (A,) + tc.v.shape[2:], tc.v.dtype)
+        return (jnp.zeros((A, self.S), jnp.int32),
+                jnp.zeros((A,), jnp.int32), jnp.zeros((A,), jnp.int32),
+                st_k, st_v, jnp.zeros((A,), jnp.int32),
+                jax.tree.map(zrow, self.state["ekv"]),
+                jax.tree.map(zrow, self.state["feat_buf"]))
+
+    def _stage(self):
+        """Prefill up to admit_batch queued requests into the on-device
+        refill stock (consumed in entry order; re-filled only when fully
+        consumed — same policy as server.SlotEngine._stage)."""
+        if self.steps_per_dispatch <= 1 or not self.queue:
+            return
+        if self._staged_consumed < self._staged_n:
+            return
+        A = self.admit_batch
+        batch: List[Request] = []
+        while self.queue and len(batch) < A:
+            req = self.queue.popleft()
+            batch.append(req)
+            self.running[req.rid] = req
+        prompts = np.stack([b.prompt for b in batch]
+                           + [batch[-1].prompt] * (A - len(batch)))
+        plens = np.asarray([b.prompt_len for b in batch]
+                           + [batch[-1].prompt_len] * (A - len(batch)),
+                           np.int32)
+        self.key, kp = jax.random.split(self.key)
+        keys = jax.random.split(kp, A)
+        tokens_new, len_new, tc_new, ek_new, fb_new = self._prefill_batch(
+            self.params_t, self.params_e, jnp.asarray(prompts),
+            jnp.asarray(plens), keys)
+        st_k, st_v, st_start = self._prep_staged(tc_new)
+        mn = np.full((A,), self.max_new, np.int32)
+        mn[:len(batch)] = [min(b.max_new, self.max_new) for b in batch]
+        self._staged = (tokens_new, len_new, jnp.asarray(mn), st_k, st_v,
+                        st_start, ek_new, fb_new)
+        self._staged_rids = [b.rid for b in batch]
+        self._staged_n = len(batch)
+        self._staged_consumed = 0
+
+    def _admit_staged_to_free(self):
+        """Leftover staged stock + free slots at a step boundary: scatter
+        the prefilled entries straight into slots (rare fallback; keeps
+        staged requests from deadlocking when no active slot will free)."""
+        if self._staged_consumed >= self._staged_n:
+            return
+        free = [s for s in range(self.n_slots) if self.slot_rid[s] == -1]
+        if not free:
+            return
+        A = self.admit_batch
+        (st_tokens, st_length, st_mn, st_k, st_v, st_start, st_ekv,
+         st_fb) = self._staged
+        slots = np.full((A,), self.n_slots, np.int32)   # pad -> dropped
+        for a in range(self._staged_consumed, self._staged_n):
+            if not free:
+                break
+            s = free.pop(0)
+            slots[a] = s
+            self.slot_rid[s] = self._staged_rids[a]
+            self._staged_consumed = a + 1
+        ii = jnp.asarray(slots)
+        st = self.state
+        put = lambda buf, new: jax.tree.map(
+            lambda b, n: b.at[ii].set(n), buf, new)
+        tc = st["tcache"]
+        self.state = dict(
+            st,
+            tokens=st["tokens"].at[ii].set(st_tokens),
+            length=st["length"].at[ii].set(st_length),
+            prompt_end=st["prompt_end"].at[ii].set(
+                jnp.full((A,), self.bucket, jnp.int32)),
+            max_new=st["max_new"].at[ii].set(st_mn),
+            active=st["active"].at[ii].set(jnp.ones((A,), bool)),
+            done=st["done"].at[ii].set(jnp.zeros((A,), bool)),
+            acc_sum=st["acc_sum"].at[ii].set(jnp.zeros((A,), jnp.int32)),
+            blk_cnt=st["blk_cnt"].at[ii].set(jnp.zeros((A,), jnp.int32)),
+            tcache=tc._replace(k=tc.k.at[:, ii].set(st_k),
+                               v=tc.v.at[:, ii].set(st_v),
+                               start=tc.start.at[ii].set(st_start)),
+            ekv=put(st["ekv"], st_ekv),
+            feat_buf=put(st["feat_buf"], st_fb),
+        )
+
+    def _reconcile(self, consumed, assigned, h_tokens, h_length, h_acc,
+                   h_blk) -> List[Request]:
+        """Replay the macro's deterministic refill chain (entry order x
+        slot order) to map each harvest snapshot to its request."""
+        finished: List[Request] = []
+        c1 = int(consumed)
+        c0 = self._staged_consumed
+        if c1 <= c0:
+            return finished
+        assigned, h_tokens, h_length, h_acc, h_blk = jax.device_get(
+            (assigned, h_tokens, h_length, h_acc, h_blk))
+        for a in range(c0, c1):
+            s = int(assigned[a])
+            req = self.running.pop(self.slot_rid[s])
+            ln = int(h_length[a])
+            toks = h_tokens[a][self.bucket:ln]
+            tl = toks.tolist()
+            if self.eos in tl:
+                toks = toks[:tl.index(self.eos) + 1]
+            req.out_tokens = toks[:req.max_new]
+            req.accepts = int(h_acc[a])
+            req.blocks = int(h_blk[a])
+            self._done_acc += req.accepts
+            self._done_blk += req.blocks
+            finished.append(req)
+            self.slot_rid[s] = self._staged_rids[a]
+            self.refilled_total += 1
+        self._staged_consumed = c1
+        return finished
+
     def _harvest(self) -> List[Request]:
         finished = []
         done = np.asarray(self.state["done"])
@@ -305,6 +531,7 @@ class EagleSlotEngine:
         acc, blk, lengths, all_toks = jax.device_get(
             (self.state["acc_sum"], self.state["blk_cnt"],
              self.state["length"], self.state["tokens"]))
+        mask = np.zeros((self.n_slots,), bool)
         for s in range(self.n_slots):
             if done[s] and self.slot_rid[s] >= 0:
                 rid = self.slot_rid[s]
@@ -316,46 +543,78 @@ class EagleSlotEngine:
                 req.out_tokens = toks[:req.max_new]
                 req.accepts = int(acc[s])
                 req.blocks = int(blk[s])
+                self._done_acc += req.accepts
+                self._done_blk += req.blocks
                 finished.append(req)
-                st = self.state
-                self.state = dict(
-                    st,
-                    active=st["active"].at[s].set(False),
-                    done=st["done"].at[s].set(False))
+                mask[s] = True
                 self.slot_rid[s] = -1
+        if mask.any():
+            st = self.state
+            active, done_f, acc_f, blk_f = self._clear_slots(
+                st["active"], st["done"], st["acc_sum"], st["blk_cnt"],
+                jnp.asarray(mask))
+            self.state = dict(st, active=active, done=done_f,
+                              acc_sum=acc_f, blk_cnt=blk_f)
         return finished
 
     def step(self) -> List[Request]:
         t0 = time.perf_counter()
+        self._admit_staged_to_free()
         self._admit()
         if all(r < 0 for r in self.slot_rid):
+            self.step_time += time.perf_counter() - t0
             return []
+        self._stage()
         self.key, k = jax.random.split(self.key)
-        keys = (k if self.steps_per_dispatch > 1
-                else jax.random.split(k, self.n_slots))
         st = self.state
-        (tokens, length, done, acc_sum, blk_cnt, tcache, ekv, feat_buf) = \
-            self._step(self.params_t, self.params_e, st["tokens"],
-                       st["length"], st["prompt_end"], st["max_new"],
-                       st["active"], st["acc_sum"], st["blk_cnt"],
-                       st["tcache"], st["ekv"], st["feat_buf"], keys)
-        self.state = dict(st, tokens=tokens, length=length,
-                          done=st["done"] | done, acc_sum=acc_sum,
-                          blk_cnt=blk_cnt, tcache=tcache, ekv=ekv,
-                          feat_buf=feat_buf)
-        out = self._harvest()
+        if self.steps_per_dispatch > 1:
+            if self._staged is None:
+                self._staged = self._empty_staged()
+            (tokens, length, active, done_now, slot_mn, acc_sum, blk_cnt,
+             tcache, ekv, feat_buf, consumed, assigned, h_tokens, h_length,
+             h_acc, h_blk) = self._step(
+                self.params_t, self.params_e, st["tokens"], st["length"],
+                st["prompt_end"], st["max_new"], st["active"],
+                st["acc_sum"], st["blk_cnt"], st["tcache"], st["ekv"],
+                st["feat_buf"], *self._staged,
+                jnp.int32(self._staged_n),
+                jnp.int32(self._staged_consumed), k,
+                jnp.bool_(len(self.queue) > 0))
+            self.state = dict(st, tokens=tokens, length=length,
+                              max_new=slot_mn, active=active,
+                              done=st["done"] | done_now, acc_sum=acc_sum,
+                              blk_cnt=blk_cnt, tcache=tcache, ekv=ekv,
+                              feat_buf=feat_buf)
+            out = self._reconcile(consumed, assigned, h_tokens, h_length,
+                                  h_acc, h_blk)
+        else:
+            keys = jax.random.split(k, self.n_slots)
+            (tokens, length, done, acc_sum, blk_cnt, tcache, ekv,
+             feat_buf) = self._step(
+                self.params_t, self.params_e, st["tokens"], st["length"],
+                st["prompt_end"], st["max_new"], st["active"],
+                st["acc_sum"], st["blk_cnt"], st["tcache"], st["ekv"],
+                st["feat_buf"], keys)
+            self.state = dict(st, tokens=tokens, length=length,
+                              done=st["done"] | done, acc_sum=acc_sum,
+                              blk_cnt=blk_cnt, tcache=tcache, ekv=ekv,
+                              feat_buf=feat_buf)
+            out = []
+        out.extend(self._harvest())
         self.step_time += time.perf_counter() - t0
         self.total_committed += sum(len(r.out_tokens) for r in out)
         return out
 
     def stats(self) -> Dict[str, float]:
-        acc = np.asarray(self.state["acc_sum"], np.float64)
-        blk = np.asarray(self.state["blk_cnt"], np.float64)
-        be = float((acc.sum() + blk.sum()) / blk.sum()) if blk.sum() else 0.0
+        acc = float(np.asarray(self.state["acc_sum"], np.float64).sum()) \
+            + self._done_acc
+        blk = float(np.asarray(self.state["blk_cnt"], np.float64).sum()) \
+            + self._done_blk
+        be = (acc + blk) / blk if blk else 0.0
         tput = (self.total_committed / self.step_time
                 if self.step_time else 0.0)
         return {"block_efficiency": be, "tokens_per_s": tput,
-                "blocks": float(blk.sum()), "committed": self.total_committed}
+                "blocks": blk, "committed": self.total_committed}
 
     def run_all(self, max_steps: int = 10_000) -> List[Request]:
         out = []

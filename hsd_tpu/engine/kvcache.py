@@ -167,15 +167,17 @@ def compact_path_staged(cache: KVCache, rel_indices: jax.Array,
 
     Unlike compact_path_batched this scatters only B*T (= slots x path)
     rows — the big per-row traffic stays in the uniform staging append.
-    dst is clipped BELOW src_base so an over-budget row can never clobber
-    the staging region (such rows are done and harvested anyway)."""
+    A dst that would land in the staging region (an over-budget row — only
+    dead done/frozen rows today) is pushed out of bounds instead, which
+    JAX scatter semantics DROP: no duplicate-index collapse onto
+    src_base-1 with an unspecified winner."""
     B, T = rel_indices.shape
     src = src_base + jnp.clip(rel_indices, 0, cache.max_len - 1 - src_base)
     kg = jnp.take_along_axis(cache.k, src[None, :, :, None, None], axis=2)
     vg = jnp.take_along_axis(cache.v, src[None, :, :, None, None], axis=2)
     b_ids = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
-    dst = jnp.clip(dst_base[:, None] + jnp.arange(T)[None, :], 0,
-                   src_base - 1)
+    dst = dst_base[:, None] + jnp.arange(T)[None, :]
+    dst = jnp.where((dst >= 0) & (dst < src_base), dst, cache.max_len)
     k = cache.k.at[:, b_ids, dst].set(kg)
     v = cache.v.at[:, b_ids, dst].set(vg)
     return cache._replace(k=k, v=v)

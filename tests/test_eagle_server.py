@@ -128,6 +128,10 @@ def test_eagle_server_macro_steps_greedy_matches_ar(models):
         np.testing.assert_array_equal(got[:n], want[:n],
                                       err_msg=f"rid {r.rid}")
         assert len(got) <= budgets[r.rid]
+    # 6 requests through 2 slots at M=3 must exercise on-device refill —
+    # and the greedy==AR assertions above prove the refilled requests'
+    # token streams are exact through the refill path
+    assert se.refilled_total > 0
 
 
 def test_eagle_server_batched_matches_vmapped(models):

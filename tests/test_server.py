@@ -245,3 +245,6 @@ def test_macro_steps_budgets_and_completion():
         assert r.blocks >= 1
     st = eng.stats()
     assert st["committed"] == sum(len(r.out_tokens) for r in done)
+    # 5 requests through 2 slots at M=3 MUST exercise the on-device refill
+    # path (freed slot takes a staged request inside the macro while_loop)
+    assert eng.refilled_total > 0

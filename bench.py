@@ -204,8 +204,17 @@ def _realistic_row(key):
                              intermediate_size=512, num_layers=4,
                              num_heads=4, num_kv_heads=2, dtype=jnp.float32,
                              tie_word_embeddings=False, eos_token_id=V - 1)
-    cfg_d = ModelConfig.tiny(vocab_size=V, hidden_size=160,
-                             intermediate_size=320, num_layers=2,
+    # 1L/96H draft (r5 capacity sweep, scripts/bench_realistic.py): the
+    # smallest draft whose NATIVE agreement lands near tokenwise BE 5.99
+    # with minimal temperature flattening (tau~1.25). Temperature
+    # flattening adds noise-LIKE divergence everywhere — the shape HSD
+    # over-recovers from — so the r4 2L/160H draft (tau=1.438) overshot
+    # the published uplifts ~2.4x (1.12 vs 1.052); the capacity-limited
+    # 1L draft's divergence concentrates at hard positions and lands the
+    # uplift magnitudes inside the published bands (1.067/1.027 vs
+    # 1.052/1.023 at the sweep's 8 prompts).
+    cfg_d = ModelConfig.tiny(vocab_size=V, hidden_size=96,
+                             intermediate_size=192, num_layers=1,
                              num_heads=4, num_kv_heads=2, dtype=jnp.float32,
                              tie_word_embeddings=False, eos_token_id=V - 1)
     lang = make_language(jax.random.fold_in(key, 31), vocab=V)
@@ -245,10 +254,12 @@ def _realistic_row(key):
     gen_tok = gen_for("tokenwise")
     lo_t, hi_t, tau, cal = 1.0, 2.0, 1.0, []
 
-    N_FINAL = 24     # ~1000 blocks/method: uplift SE ~0.025 (the r3 "thin
-    #                  stats" critique applies doubly to a delta of ~0.05)
+    N_FINAL = 96     # ~4000 blocks/method at ~0.25 s/run (tiny geometry):
+    #                  uplift SE ~0.02 — the r5 requirement is separating a
+    #                  +2.3% (blockwise) from a +5.2% (hsd) effect, which
+    #                  24 runs could not (measured swing r5: 1.03 vs 1.06)
 
-    def probe(t, n=8):
+    def probe(t, n=16):
         b, tps, ci = measure(gen_tok, scale_draft_temperature(pd, cfg_d, t),
                              n, 700)
         cal.append((round(t, 3), round(b, 3)))
@@ -371,10 +382,14 @@ def _gsm8k_parity_row(key):
                          "more. How many pears are in the box?",
              "answer": f"#### {5 + 2 * i}"}
             for i in range(20)]
-    rows = [q for q in rows for _ in range(3)]
+    # N=500 outputs (VERDICT r4 #8: at N=60 the MC noise floor ~0.08-0.1
+    # was as large as the reported TV). The per-question marginal cost is
+    # small — the per-bucket generate compiles dominate the row's time.
+    reps = int(os.environ.get("BENCH_PARITY_REPS", "25"))
+    rows = [q for q in rows for _ in range(reps)]
     shots = ("Question: 1 plus 1?\nLet's think step by step\n"
              "The answer is 2\n")
-    dists, accs = {}, {}
+    dists, accs, cats = {}, {}, {}
     for m in ("tokenwise", "hsd"):
         eng = EngineConfig(verifier=VerifierConfig(method=m, gamma=4),
                            max_new_tokens=48)
@@ -383,16 +398,39 @@ def _gsm8k_parity_row(key):
         summary = run_eval(cfg, cfg, pd, pt, ByteTokenizer(), rows, shots,
                            ev)
         c = collections.Counter()
+        cat = []
         for a in summary["model_answers"]:
             mm = re.search(r"[0-9]", a or "")
-            c[mm.group(0) if mm else "none"] += 1
+            cat.append(mm.group(0) if mm else "none")
+            c[cat[-1]] += 1
         n = sum(c.values())
         dists[m] = {k: v / n for k, v in c.items()}
         accs[m] = summary.get("accuracy", 0.0)
-    keys = set(dists["tokenwise"]) | set(dists["hsd"])
-    tv = 0.5 * sum(abs(dists["tokenwise"].get(k, 0) - dists["hsd"].get(k, 0))
-                   for k in keys)
+        cats[m] = cat
+
+    def _tv(da, db):
+        ks = set(da) | set(db)
+        return 0.5 * sum(abs(da.get(k, 0) - db.get(k, 0)) for k in ks)
+
+    tv = _tv(dists["tokenwise"], dists["hsd"])
+    # permutation noise floor: under H0 (both methods draw from the same
+    # answer law — true, both are lossless) the TV between two random
+    # halves of the POOLED outputs is the distribution the measured TV
+    # must be compared against; report its median and 95th percentile
+    pool = cats["tokenwise"] + cats["hsd"]
+    n_half = len(cats["tokenwise"])
+    rng = np.random.default_rng(0)
+    perm_tvs = []
+    for _ in range(400):
+        perm = rng.permutation(len(pool))
+        a = collections.Counter(pool[i] for i in perm[:n_half])
+        b = collections.Counter(pool[i] for i in perm[n_half:])
+        perm_tvs.append(_tv({k: v / n_half for k, v in a.items()},
+                            {k: v / (len(pool) - n_half)
+                             for k, v in b.items()}))
     return {"answer_tv": round(tv, 3), "n_outputs": len(rows),
+            "noise_floor_tv50": round(float(np.median(perm_tvs)), 3),
+            "noise_floor_tv95": round(float(np.quantile(perm_tvs, 0.95)), 3),
             "tokenwise_acc": round(float(accs["tokenwise"]), 3),
             "hsd_acc": round(float(accs["hsd"]), 3)}
 

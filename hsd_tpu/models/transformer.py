@@ -241,7 +241,7 @@ def _rope(x: jax.Array, positions: jax.Array, theta: float,
 
 
 def _attention(q, k, v, q_index, kv_length, start, attn_bias,
-               staging_at=None):
+               staging_at=None, mask=None):
     """q: [B,T,H,d]; k,v: [B,S,Hkv,d] (full cache buffers).
 
     Causal + cache-validity masking by cache index — the static-shape
@@ -295,9 +295,14 @@ def _attention(q, k, v, q_index, kv_length, start, attn_bias,
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         out = jnp.einsum("bkrts,bskd->btkrd", probs, v)
         return out.reshape(B, T, H, d)
-    key_pos = jnp.arange(S)[None, None, None, None, :]
-    qp = q_index[:, None, None, :, None]  # [B,1,1,T,1]
-    mask = (key_pos <= qp) & (key_pos >= start[:, None, None, None, None])
+    if mask is None:
+        # layer-invariant: forward() precomputes this once outside the
+        # layer scan (decode is small-op-launch-bound; ~5 mask ops per
+        # layer x 48 layers was measurable overhead)
+        key_pos = jnp.arange(S)[None, None, None, None, :]
+        qp = q_index[:, None, None, :, None]  # [B,1,1,T,1]
+        mask = (key_pos <= qp) & (key_pos >= start[:, None, None, None,
+                                                   None])
     if attn_bias is not None:
         # Tree attention: attn_bias is a [T, T] (or per-row [B, T, T])
         # additive bias over the new tokens (the draft trie); it lands on
@@ -397,6 +402,22 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
     # rotation tables are layer-invariant: build once OUTSIDE the layer scan
     rope_tables = _rope_tables(positions, hd, cfg.rope_theta,
                                cfg.rope_scaling)
+    # rope-fused attention kernel (ops/flash_decode, opt-in): absorbs the
+    # per-layer rope(q) + mask + softmax launches into one kernel in the
+    # launch-bound short-cache decode regime
+    from ..ops.flash_decode import use_fused_rope_attn
+    fused_rope_attn = (ring_axis is None and staging_at is None
+                       and lengths is None and attn_bias is None
+                       and use_fused_rope_attn(B, T, hd, cache.k.shape[2]))
+    # the attention validity mask is layer-invariant too; hoist it out of
+    # the scan (non-staged path only — the staged mask couples to the bias)
+    dec_mask = None
+    if ring_axis is None and staging_at is None:
+        S_ = cache.k.shape[2]
+        key_pos = jnp.arange(S_)[None, None, None, None, :]
+        qp = q_index[:, None, None, :, None]
+        dec_mask = (key_pos <= qp) & (key_pos >= cache.start[:, None, None,
+                                                             None, None])
 
     if hidden_in is not None:
         x = hidden_in.astype(cfg.dtype)
@@ -458,7 +479,8 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, Hkv, hd)
         v = v.reshape(B, T, Hkv, hd)
-        q = _rope_apply(q, rope_tables)
+        if not fused_rope_attn:
+            q = _rope_apply(q, rope_tables)
         k = _rope_apply(k, rope_tables)
         if staging_at is not None:
             k_all, v_all = append_layer_stacked(k_all, v_all, idx,
@@ -478,10 +500,17 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
                                                  keepdims=False)
             v_buf = jax.lax.dynamic_index_in_dim(v_all, idx, 0,
                                                  keepdims=False)
-            att = _attention(
-                q, k_buf, v_buf, q_index,
-                lengths if lengths is not None else cache.length,
-                cache.start, attn_bias, staging_at=staging_at)
+            if fused_rope_attn:
+                from ..ops.flash_decode import flash_attention_decode
+                att = flash_attention_decode(
+                    q, k_buf, v_buf, q_index, cache.length, cache.start,
+                    attn_bias, rope=rope_tables).astype(q.dtype)
+            else:
+                att = _attention(
+                    q, k_buf, v_buf, q_index,
+                    lengths if lengths is not None else cache.length,
+                    cache.start, attn_bias, staging_at=staging_at,
+                    mask=dec_mask)
         x = x + reduce_tp(lin("wo", att.reshape(B, T, H * hd)))
         if "gate" in names:
             h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)

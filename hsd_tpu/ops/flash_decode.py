@@ -46,8 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
-def _kernel(qidx_ref, scal_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
-            m_ref, l_ref, acc_ref, *, Sb, Hkv, rT, d, T, scale, has_bias):
+def _kernel(qidx_ref, scal_ref, q_ref, k_ref, v_ref, bias_ref, rope_ref,
+            o_ref, m_ref, l_ref, acc_ref, *, Sb, Hkv, rT, d, T, scale,
+            has_bias, has_rope):
     s = pl.program_id(0)
     n_s = pl.num_programs(0)
 
@@ -83,6 +84,16 @@ def _kernel(qidx_ref, scal_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
 
     for h in range(Hkv):
         qh = q_ref[h]                                       # [rT, d]
+        if has_rope:
+            # rotate-half RoPE on the RAW queries in-kernel (the ~6
+            # elementwise XLA ops per layer were pure launch overhead in
+            # the small-op-bound decode regime); rope_ref rows: 0 =
+            # full-d cos, 1 = full-d sin, both already tiled to [rT, d]
+            cosr = rope_ref[0]
+            sinr = rope_ref[1]
+            half = d // 2
+            rot = jnp.concatenate([-qh[:, half:], qh[:, :half]], axis=-1)
+            qh = qh * cosr + rot * sinr
         scores = jax.lax.dot_general(
             qh, kblk[:, h, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale     # [rT, Sb]
@@ -109,7 +120,7 @@ def _kernel(qidx_ref, scal_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
 def _flash_core(q, k, v, q_index, start, kv_length, attn_bias,
-                block_s: int = 512, interpret: bool = False):
+                rope=None, block_s: int = 512, interpret: bool = False):
     """Single-sequence core. q [T, H, d]; k,v [S, Hkv, d]; q_index [T];
     start, kv_length scalars; attn_bias [T, T] or None. Returns [T, H, d]
     float32.
@@ -138,10 +149,20 @@ def _flash_core(q, k, v, q_index, start, kv_length, attn_bias,
     bias_rows = (jnp.tile(attn_bias.astype(jnp.float32), (rep, 1))
                  if has_bias else jnp.zeros((rT, 1), jnp.float32))
     Tb = attn_bias.shape[1] if has_bias else 1
+    has_rope = rope is not None
+    if has_rope:
+        cos, sin = rope           # [T, d/2] each (per-position half tables)
+        full = lambda t: jnp.concatenate([t, t], axis=-1)    # [T, d]
+        # row r*T + t of qg carries query position t
+        rope_rows = jnp.stack([jnp.tile(full(cos), (rep, 1)),
+                               jnp.tile(full(sin), (rep, 1))])  # [2, rT, d]
+        rope_rows = rope_rows.astype(jnp.float32)
+    else:
+        rope_rows = jnp.zeros((2, rT, d), jnp.float32)
 
     kernel = functools.partial(
         _kernel, Sb=Sb, Hkv=Hkv, rT=rT, d=d, T=Tb, scale=scale,
-        has_bias=has_bias)
+        has_bias=has_bias, has_rope=has_rope)
     out = pl.pallas_call(
         kernel,
         grid=(n_s,),
@@ -157,6 +178,8 @@ def _flash_core(q, k, v, q_index, start, kv_length, attn_bias,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rT, Tb), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, rT, d), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Hkv, rT, d), lambda s: (0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -168,12 +191,30 @@ def _flash_core(q, k, v, q_index, start, kv_length, attn_bias,
         ],
         interpret=interpret,
     )(qidx, scal, qg, k.reshape(S, Hkv * d), v.reshape(S, Hkv * d),
-      bias_rows)
+      bias_rows, rope_rows)
     # [Hkv, rep*T, d] -> [T, H, d]
     return out.reshape(Hkv, rep, T, d).transpose(2, 0, 1, 3).reshape(T, H, d)
 
 
 FLASH_DECODE = os.environ.get("HSD_TPU_FLASH_DECODE", "auto")
+FUSED_ATTN = os.environ.get("HSD_TPU_FUSED_ATTN", "auto")
+
+
+def use_fused_rope_attn(B, T, d, S) -> bool:
+    """Route the decode layer to the rope-fused attention kernel.
+
+    Unlike the attention-only kernel (use_flash — measured 0.87-0.97x XLA
+    at 1k-4k cache lengths, traffic-bound), the rope-fused form targets
+    the SHORT-cache launch-bound regime: it additionally absorbs the ~6
+    elementwise rope(q) launches per layer. Gated off in 'auto' until the
+    e2e decode measurement says otherwise; 'always' enables for the
+    supported decode shapes (single row, small T, head_dim 64/128)."""
+    if FUSED_ATTN == "never" or FLASH_DECODE == "always":
+        return False
+    ok = (B == 1 and T <= 16 and d in (64, 128) and S >= 128)
+    if FUSED_ATTN == "always":
+        return ok
+    return False
 
 
 def use_flash(q, k) -> bool:
@@ -199,16 +240,28 @@ def use_flash(q, k) -> bool:
 
 
 def flash_attention_decode(q, k, v, q_index, kv_length, start, attn_bias,
-                           block_s: int = 512):
+                           rope=None, block_s: int = 512):
     """Drop-in for models.transformer._attention on the decode path.
 
     q [B, T, H, d]; k, v [B, S, Hkv, d]; q_index [B, T]; start [B];
-    kv_length scalar. Returns [B, T, H, d] in q.dtype."""
+    kv_length scalar. rope: optional (cos, sin) tables [B, T, 1, d/2]
+    (models.transformer._rope_tables layout) — when given, q arrives RAW
+    and rotate-half RoPE applies IN-KERNEL, collapsing the per-layer
+    elementwise rope chain into the attention launch (decode is small-op
+    launch-bound; NEXT.md r4 item 1). Returns [B, T, H, d] in q.dtype."""
     interp = jax.default_backend() != "tpu"
     core = functools.partial(_flash_core, block_s=block_s, interpret=interp)
     bias = attn_bias
-    out = jax.vmap(
-        lambda qq, kk, vv, qi, st: core(qq, kk, vv, qi, st,
-                                        jnp.asarray(kv_length), bias)
-    )(q, k, v, q_index, start)
+    if rope is None:
+        out = jax.vmap(
+            lambda qq, kk, vv, qi, st: core(qq, kk, vv, qi, st,
+                                            jnp.asarray(kv_length), bias)
+        )(q, k, v, q_index, start)
+    else:
+        cos, sin = rope[0][:, :, 0, :], rope[1][:, :, 0, :]  # [B, T, d/2]
+        out = jax.vmap(
+            lambda qq, kk, vv, qi, st, cc, ss: core(
+                qq, kk, vv, qi, st, jnp.asarray(kv_length), bias,
+                rope=(cc, ss))
+        )(q, k, v, q_index, start, cos, sin)
     return out.astype(q.dtype)

@@ -59,6 +59,7 @@ N_WORDS = int(os.environ.get("RB_N_WORDS", 600))
 DLAYERS = int(os.environ.get("RB_DRAFT_LAYERS", 2))
 DHID = int(os.environ.get("RB_DRAFT_HIDDEN", 160))
 SKIP_EAGLE = bool(int(os.environ.get("RB_SKIP_EAGLE", "0")))
+HEAD_INTER = int(os.environ.get("RB_HEAD_INTER", 512))
 SKIP_SPEC = bool(int(os.environ.get("RB_SKIP_SPEC", "0")))
 SEQ, BATCH = 96, 64
 
@@ -224,7 +225,7 @@ def eagle_rows(key, t00, lang, pt, prompts):
     verifier modes at production geometry. Returns the context dict."""
     ecfg = EagleConfig(hidden_size=256, target_hidden_size=256,
                        num_heads=4, num_kv_heads=2, vocab_size=V,
-                       draft_vocab_size=V, intermediate_size=512,
+                       draft_vocab_size=V, intermediate_size=HEAD_INTER,
                        top_k=10, depth=6, total_tokens=59,
                        dtype=jnp.float32, rope_theta=CFG_T.rope_theta)
     pe = init_eagle_params(ecfg, jax.random.fold_in(key, 8))

@@ -52,6 +52,53 @@ def test_flash_tree_bias():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("T,H,Hkv,d,S,kv_len,start", [
+    (1, 8, 2, 128, 300, 200, 0),     # AR decode
+    (3, 8, 2, 64, 256, 97, 3),       # small-T, left-padded
+])
+def test_fused_rope_matches_rope_then_einsum(T, H, Hkv, d, S, kv_len,
+                                             start):
+    """rope=(cos, sin): the kernel consumes RAW q and must match
+    _rope_apply + einsum attention."""
+    from hsd_tpu.models.transformer import _rope_apply, _rope_tables
+    q, k, v = _mk(jax.random.PRNGKey(5), T, H, Hkv, d, S, jnp.float32)
+    q_index = (kv_len + jnp.arange(T, dtype=jnp.int32))[None, :]
+    st = jnp.array([start], jnp.int32)
+    positions = q_index - start
+    tables = _rope_tables(positions, d, 10000.0)
+    ref = _attention(_rope_apply(q, tables), k, v, q_index,
+                     jnp.int32(kv_len), st, None)
+    out = flash_attention_decode(q, k, v, q_index, jnp.int32(kv_len), st,
+                                 None, rope=tables, block_s=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_rope_forward_e2e_parity(monkeypatch):
+    """transformer.forward with HSD_TPU_FUSED_ATTN=always equals the
+    default einsum path at f32 on a tiny decode step."""
+    import hsd_tpu.models.transformer as tr
+    import hsd_tpu.ops.flash_decode as fd
+    from hsd_tpu.config import ModelConfig
+    from hsd_tpu.engine.kvcache import init_cache
+    from hsd_tpu.models import init_params
+
+    # head_dim must be 64/128 for the kernel: 256/4 = 64
+    cfg = ModelConfig.tiny(vocab_size=64, hidden_size=256,
+                           intermediate_size=256, num_layers=2, num_heads=4,
+                           num_kv_heads=2, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    cache = init_cache(cfg, 1, 160)
+    prompt = jnp.arange(1, 140, dtype=jnp.int32)[None, :]
+    logits0, cache0 = tr.forward(cfg, params, prompt, cache)
+    tok = jnp.asarray([[7]], jnp.int32)
+    ref, _ = tr.forward(cfg, params, tok, cache0)
+    monkeypatch.setattr(fd, "FUSED_ATTN", "always")
+    out, _ = tr.forward(cfg, params, tok, cache0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
 def test_flash_bf16_matches_reference_cast():
     """bf16 inputs: both paths do fp32 softmax with a bf16 PV cast."""
     T, H, Hkv, d, S, kv_len = 2, 8, 2, 128, 384, 301

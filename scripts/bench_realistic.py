@@ -249,7 +249,7 @@ def eagle_rows(key, t00, lang, pt, prompts):
     eng = EngineConfig(max_new_tokens=128, temperature=1.0)
     for mode in ("typical", "hsd", "hsd_ref", "greedy"):
         egen = make_eagle_generate(CFG_T, ecfg, eng, mode=mode)
-        accepts, toks, secs = [], 0, 0.0
+        accepts, per_prompt, toks, secs = [], [], 0, 0.0
         r = egen(pt, pe, prompts[0], jnp.int32(64),
                  jax.random.fold_in(key, 900))
         int(r.ncommit)
@@ -260,11 +260,17 @@ def eagle_rows(key, t00, lang, pt, prompts):
             nc = int(r.ncommit)
             secs += time.perf_counter() - t0
             toks += nc
-            accepts.extend(np.asarray(r.accepts)[:int(r.blocks)].tolist())
+            a = np.asarray(r.accepts)[:int(r.blocks)]
+            accepts.extend(a.tolist())
+            if a.size:
+                per_prompt.append(float(np.mean(a + 1)))
         acc = np.asarray(accepts)
         hist = np.bincount(np.clip(acc, 0, None), minlength=7)
+        ci = (1.96 * float(np.std(per_prompt, ddof=1))
+              / len(per_prompt) ** 0.5 if len(per_prompt) > 1 else 0.0)
         emodes[mode] = {
             "be": round(float(np.mean(acc + 1)), 3),
+            "be_ci95": round(ci, 3),
             "tok_s": round(toks / secs, 1),
             "accept_hist": np.round(hist / max(len(acc), 1), 3).tolist(),
         }

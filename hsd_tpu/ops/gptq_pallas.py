@@ -341,6 +341,24 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
     if block_in == 0:
         block_in = (_pick_block_in_packed(rows, gs_k) if packed
                     else _pick_block_in(rows, gs_k))
+        if (packed and block_out == 0 and rows * dout <= 24 * 1024 * 1024
+                and dout > _out_block_limit(True, block_in, npad, 0)):
+            # SMALL packed weights whose auto in-block forces a multi-out-
+            # block grid: the pipeline prologue amortizes over too few
+            # steps (wqkv 2560x7168 streamed 509-523 GB/s vs 633-650 for
+            # its 3-4x-larger siblings at the SAME tile shape). Prefer the
+            # largest in-block whose VMEM budget fits the WHOLE dout in
+            # one out-block — e2e 48L int4 decode A/B (median of 3, 96
+            # new tokens, scripts/ab_wqkv_blocks.py): auto 13.00-13.05
+            # ms/token vs one-out-block 12.76-12.80. Self-limiting: at
+            # prefill row counts the npad term shrinks the limit below
+            # dout for every candidate, so prefill keeps the auto pick.
+            for d in range(block_in // gs_k, 0, -1):
+                cand = d * gs_k
+                if (rows % cand == 0
+                        and _out_block_limit(True, cand, npad, 0) >= dout):
+                    block_in = cand
+                    break
     block_in = min(block_in, rows)
     # bo need NOT divide dout on EITHER path: the grid's final out-block is
     # RAGGED (Mosaic pads edge blocks; garbage lands only in columns >= dout,

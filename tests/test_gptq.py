@@ -322,6 +322,27 @@ def test_auto_block_out_prefers_wide_ragged():
     assert limit8 > 128 and limit8 % 128 == 0
 
 
+def test_auto_one_out_block_small_packed():
+    """r5 wqkv rule: a SMALL packed weight whose auto in-block would split
+    the out-dim must instead shrink the in-block until the whole dout fits
+    one out-block (e2e-measured win, docs/BENCHMARKS.md r5 wqkv section) —
+    and stay exact. din=1280/dout=6144 triggers the branch at npad=8
+    (auto bi=640 -> limit ~5.5k < 6144; bi=128 fits one block), and the
+    parity run takes the multi-in-block accumulation path it selects."""
+    from hsd_tpu.ops.gptq_pallas import _out_block_limit, _pick_block_in_packed
+    rows, dout = 640, 6144                        # packed rows = din/2
+    bi_auto = _pick_block_in_packed(rows, 128)
+    assert bi_auto == 640
+    assert _out_block_limit(True, bi_auto, 8, 0) < dout   # rule fires
+    assert _out_block_limit(True, 128, 8, 0) >= dout      # and can land
+    w, qw, x = _mk(jax.random.PRNGKey(80), din=1280, dout=dout, bits=4,
+                   symmetric=True)
+    want = x @ dequantize(qw, jnp.float32)
+    got = gptq_matmul(x, qw, interpret=True)      # AUTO blocks
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("bits", [8, 4])
 def test_mxu_bf16_kernel_close_to_xla(bits):
     """bf16-MXU operand mode (slot-batched serving, ModelConfig.

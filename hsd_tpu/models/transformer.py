@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from ..engine.kvcache import (KVCache, append_layer_stacked,
                               append_layer_stacked_ragged)
-from ..ops.linear import apply_linear, init_dense
+from ..ops.linear import apply_linear, apply_mlp, init_dense
 
 
 class QuantizedEmbedding(NamedTuple):
@@ -517,12 +517,22 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
             x = x + _moe_ffn(cfg, lp, h, tp_axis=tp_axis)
         elif "wgu" in names:
             assert tp_axis is None, "TP runs keep the unfused layout"
-            wdown = names["wdown"]
-            F = wdown.din if isinstance(wdown, QuantizedLinear) \
-                else wdown.shape[-2]  # logical in-dim (packed int4 aware)
-            gu = lin("wgu", x, rms=(lp["ln2"], cfg.rms_norm_eps))
-            ff = jax.nn.silu(gu[..., :F]) * gu[..., F:]
-            x = x + lin("wdown", ff)
+            if "wgu" in qnames and "wdown" in qnames:
+                # stacked quantized pair: the whole SwiGLU block goes
+                # through one dispatcher — a single fused pallas_call when
+                # supported (ops/linear.apply_mlp), else the same two-call
+                # composition as below
+                x = x + apply_mlp(names["wgu"], names["wdown"], x,
+                                  lp["ln2"], cfg.rms_norm_eps, layer=idx,
+                                  path=cfg.gptq_path,
+                                  mxu_bf16=cfg.gptq_mxu_bf16)
+            else:
+                wdown = names["wdown"]
+                F = wdown.din if isinstance(wdown, QuantizedLinear) \
+                    else wdown.shape[-2]  # logical in-dim (packed-int4 aware)
+                gu = lin("wgu", x, rms=(lp["ln2"], cfg.rms_norm_eps))
+                ff = jax.nn.silu(gu[..., :F]) * gu[..., F:]
+                x = x + lin("wdown", ff)
         else:
             h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
             ff = jax.nn.silu(lin("wgate", h)) * lin("wup", h)

@@ -527,6 +527,268 @@ def gptq_matmul(x: jax.Array, qw: QuantizedLinear, block_out: int = 0,
     return out[:n].reshape(*lead, dout)
 
 
+def _kernel_mlp_int4(xf_ref, ln_ref, xe_ref, xo_ref, wg_ref, sg_ref,
+                     wd_ref, sd_ref, o_ref, gu_ref, ff_ref, acc_ref, *,
+                     gpb_g, gs_g, gpb_d, gs_d, n_gu_steps, n_down_in,
+                     bo_gu, eps, stacked=False):
+    """Whole SwiGLU MLP block in ONE pallas_call: rmsnorm(x) @ Wgu ->
+    silu(gate)*up -> @ Wdown, both packed-int4 symmetric, both -8 shift
+    corrections folded in-kernel on group sums (NEXT.md r5 item 2: the
+    remaining decode residual is per-call/launch floors — this removes one
+    kernel boundary per layer plus the XLA silu/mul/correction ops between
+    them, and the wdown weight tile prefetches DURING the gu phase).
+
+    1-D grid of n_gu_steps + n_down_out*n_down_in steps. Phase 1 (gu):
+    single in-block (whole packed rows), one out-block per step written to
+    the gu VMEM scratch. Phase boundary: ff = silu(gu[:, :F]) * gu[:, F:]
+    computed once into the ff scratch. Phase 2 (down): the int4 kernel's
+    (out, in) loop reading activation planes as the contiguous halves of
+    the ff scratch (split-half pack convention, ops/linear.pack_int4)."""
+    s = pl.program_id(0)
+    in_gu = s < n_gu_steps
+
+    @pl.when(in_gu)
+    def _():
+        b = (wg_ref[0] if stacked else wg_ref[:]).astype(jnp.int32)
+        in_p, out_blk = b.shape                            # [Rg, bo_gu]
+        sp = (sg_ref[0] if stacked else sg_ref[:]).astype(jnp.float32)
+        sl, sh = sp[0, 0], sp[1, 0]                        # [gpb_g, bo_gu]
+        lf = (b & 15).astype(jnp.float32).reshape(gpb_g, gs_g, out_blk)
+        hf = (b >> 4).astype(jnp.float32).reshape(gpb_g, gs_g, out_blk)
+        wl = (lf * sl[:, None, :]).reshape(in_p, out_blk)
+        wh = (hf * sh[:, None, :]).reshape(in_p, out_blk)
+        xf = xf_ref[:]
+        r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
+        ln2 = ln_ref[:]                                    # [2, Rg]
+        xe = xe_ref[:].astype(jnp.float32) * r * ln2[0][None, :]
+        xo = xo_ref[:].astype(jnp.float32) * r * ln2[1][None, :]
+        acc = (jnp.dot(xe, wl, preferred_element_type=jnp.float32)
+               + jnp.dot(xo, wh, preferred_element_type=jnp.float32))
+        npad = xe.shape[0]
+        ge = jnp.sum(xe.reshape(npad, gpb_g, gs_g), axis=2)
+        go = jnp.sum(xo.reshape(npad, gpb_g, gs_g), axis=2)
+        acc -= 8.0 * (jnp.dot(ge, sl, preferred_element_type=jnp.float32)
+                      + jnp.dot(go, sh, preferred_element_type=jnp.float32))
+        off = pl.multiple_of(s * bo_gu, 128)
+        gu_ref[:, pl.ds(off, bo_gu)] = acc
+
+    @pl.when(s == n_gu_steps)
+    def _():
+        gu = gu_ref[:]
+        F = gu.shape[1] // 2
+        g = gu[:, :F]
+        ff_ref[:] = g * jax.nn.sigmoid(g) * gu[:, F:]
+
+    @pl.when(jnp.logical_not(in_gu))
+    def _():
+        sd_step = s - n_gu_steps
+        i_d = sd_step % n_down_in
+
+        @pl.when(i_d == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        b = (wd_ref[0] if stacked else wd_ref[:]).astype(jnp.int32)
+        in_p, out_blk = b.shape                            # [bid, bo_d]
+        sp = (sd_ref[0] if stacked else sd_ref[:]).astype(jnp.float32)
+        sl, sh = sp[0, 0], sp[1, 0]                        # [gpb_d, bo_d]
+        lf = (b & 15).astype(jnp.float32).reshape(gpb_d, gs_d, out_blk)
+        hf = (b >> 4).astype(jnp.float32).reshape(gpb_d, gs_d, out_blk)
+        wl = (lf * sl[:, None, :]).reshape(in_p, out_blk)
+        wh = (hf * sh[:, None, :]).reshape(in_p, out_blk)
+        half = n_down_in * in_p                            # F/2
+        off = pl.multiple_of(i_d * in_p, 128)
+        ffe = ff_ref[:, pl.ds(off, in_p)]
+        ffo = ff_ref[:, pl.ds(half + off, in_p)]
+        acc_ref[:] += (jnp.dot(ffe, wl, preferred_element_type=jnp.float32)
+                       + jnp.dot(ffo, wh, preferred_element_type=jnp.float32))
+        npad = ffe.shape[0]
+        ge = jnp.sum(ffe.reshape(npad, gpb_d, gs_d), axis=2)
+        go = jnp.sum(ffo.reshape(npad, gpb_d, gs_d), axis=2)
+        acc_ref[:] -= 8.0 * (
+            jnp.dot(ge, sl, preferred_element_type=jnp.float32)
+            + jnp.dot(go, sh, preferred_element_type=jnp.float32))
+
+        @pl.when(i_d == n_down_in - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _divisor_block(dout: int, limit: int) -> int:
+    """Largest 128-multiple divisor of dout that is <= limit (0 if none)."""
+    for bo in range(min(dout, max(limit, 0)) // 128 * 128, 0, -128):
+        if dout % bo == 0:
+            return bo
+    return 0
+
+
+_MLP_GU_BUDGET = 36 * 1024 * 1024
+_MLP_DOWN_BUDGET = 52 * 1024 * 1024
+
+
+def _mlp_blocks(wgu: QuantizedLinear, wdown: QuantizedLinear, npad: int):
+    """Static block plan for the fused MLP kernel, or None if unsupported.
+    Returns (bo_gu, bid, bo_d, gs_g, gs_d)."""
+    if not (wgu.packed_int4 and wdown.packed_int4):
+        return None
+    if wgu.zeros is not None or wdown.zeros is not None:
+        return None
+    if wgu.perm is not None or wdown.perm is not None:
+        return None
+    Rg, GU = wgu.qweight.shape[-2:]
+    Rd, D = wdown.qweight.shape[-2:]
+    if GU != 4 * Rd:                       # gu out = 2F must pair with F=2*Rd
+        return None
+    gg, gd = wgu.scales.shape[-2], wdown.scales.shape[-2]
+    if gg % 2 or gd % 2:
+        return None
+    gs_g, gs_d = (2 * Rg) // gg, (2 * Rd) // gd
+    if gs_g % 64 or gs_d % 64 or GU % 128 or D % 128 or Rg % gs_g:
+        return None
+    if Rg > 3584:                          # gu phase runs a single in-block
+        return None
+    bo_gu = _divisor_block(GU, _MLP_GU_BUDGET // (14 * Rg + 16 * npad))
+    bid = _pick_block_in_packed(Rd, gs_d)
+    if Rd % bid or bid % gs_d:
+        return None
+    bo_d = _divisor_block(D, _MLP_DOWN_BUDGET // (14 * bid + 16 * npad))
+    if not bo_gu or not bo_d:
+        return None
+    return bo_gu, bid, bo_d, gs_g, gs_d
+
+
+def mlp_fusion_supported(x: jax.Array, wgu, wdown) -> bool:
+    """Static gate for gptq_mlp_int4: packed-int4 symmetric wgu+wdown with a
+    legal block plan, decode-regime row counts (the gu/ff scratches scale
+    with rows; verify forwards at K=11 row counts keep the two-call path)."""
+    import math
+    if not (isinstance(wgu, QuantizedLinear)
+            and isinstance(wdown, QuantizedLinear)):
+        return False
+    n = math.prod(x.shape[:-1])
+    if n > 32:
+        return False
+    npad = max(8, ((n + 7) // 8) * 8)
+    return _mlp_blocks(wgu, wdown, npad) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ln_eps"))
+def gptq_mlp_int4(x: jax.Array, wgu: QuantizedLinear, wdown: QuantizedLinear,
+                  ln: jax.Array, ln_eps: float = 1e-6, layer_index=None,
+                  interpret: bool = False) -> jax.Array:
+    """Fused SwiGLU MLP: y = (silu(g) * u) @ deq(wdown) where
+    [g | u] = rmsnorm(x, ln) @ deq(wgu) — one pallas_call (see
+    _kernel_mlp_int4). x: [..., D] -> [..., D] in x.dtype (no residual add).
+    layer_index: both weights LAYER-STACKED, scalar-prefetch select."""
+    stacked = layer_index is not None
+    Rg, GU = wgu.qweight.shape[-2:]
+    Rd, D = wdown.qweight.shape[-2:]
+    F = 2 * Rd
+    gg, gd = wgu.scales.shape[-2], wdown.scales.shape[-2]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, 2 * Rg)
+    n = x2.shape[0]
+    npad = max(8, ((n + 7) // 8) * 8)
+    if npad != n:
+        x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
+    plan = _mlp_blocks(wgu, wdown, npad)
+    if plan is None:
+        raise ValueError("unsupported fused-MLP shapes; gate with "
+                         "mlp_fusion_supported")
+    bo_gu, bid, bo_d, gs_g, gs_d = plan
+    gpb_g, gpb_d = Rg // gs_g, bid // gs_d
+    n_gu_steps = GU // bo_gu
+    n_down_in = Rd // bid
+    n_down_out = D // bo_d
+    grid = (n_gu_steps + n_down_out * n_down_in,)
+
+    xf = x2.astype(jnp.float32)
+    xe, xo = xf[:, :Rg], xf[:, Rg:]
+    ln2 = ln.astype(jnp.float32).reshape(2, Rg)
+    # scale planes pre-shaped for BlockSpec select (see gptq_matmul packed)
+    sg = jnp.stack([wgu.scales[..., :gg // 2, :],
+                    wgu.scales[..., gg // 2:, :]], axis=-3)
+    sg = sg.reshape(*wgu.scales.shape[:-2], 2, 1, gpb_g, GU)
+    sd = jnp.stack([wdown.scales[..., :gd // 2, :],
+                    wdown.scales[..., gd // 2:, :]], axis=-3)
+    sd = sd.reshape(*wdown.scales.shape[:-2], 2, n_down_in, gpb_d, D)
+
+    def _gu_o(s):
+        return jnp.minimum(s, n_gu_steps - 1)
+
+    def _dn(s):
+        sd_step = jnp.maximum(s - n_gu_steps, 0)
+        return sd_step % n_down_in, sd_step // n_down_in
+
+    if stacked:
+        wl_ = (1,)
+        wg_map = lambda s, p: (p[0], 0, _gu_o(s))
+        sg_map = lambda s, p: (p[0], 0, 0, 0, _gu_o(s))
+        wd_map = lambda s, p: (p[0], *_dn(s))
+        sd_map = lambda s, p: (p[0], 0, _dn(s)[0], 0, _dn(s)[1])
+        c_map = lambda s, p: (0, 0)
+        o_map = lambda s, p: (0, _dn(s)[1])
+    else:
+        wl_ = ()
+        wg_map = lambda s: (0, _gu_o(s))
+        sg_map = lambda s: (0, 0, 0, _gu_o(s))
+        wd_map = lambda s: _dn(s)
+        sd_map = lambda s: (0, _dn(s)[0], 0, _dn(s)[1])
+        c_map = lambda s: (0, 0)
+        o_map = lambda s: (0, _dn(s)[1])
+
+    vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((npad, 2 * Rg), c_map, memory_space=vm),      # xf
+        pl.BlockSpec((2, Rg), c_map, memory_space=vm),             # ln2
+        pl.BlockSpec((npad, Rg), c_map, memory_space=vm),          # xe
+        pl.BlockSpec((npad, Rg), c_map, memory_space=vm),          # xo
+        pl.BlockSpec((*wl_, Rg, bo_gu), wg_map, memory_space=vm),  # wgu
+        pl.BlockSpec((*wl_, 2, 1, gpb_g, bo_gu), sg_map,
+                     memory_space=vm),                             # sg
+        pl.BlockSpec((*wl_, bid, bo_d), wd_map, memory_space=vm),  # wdown
+        pl.BlockSpec((*wl_, 2, 1, gpb_d, bo_d), sd_map,
+                     memory_space=vm),                             # sd
+    ]
+    args = [xf, ln2, xe, xo, wgu.qweight, sg, wdown.qweight, sd]
+    kern = functools.partial(
+        _kernel_mlp_int4, gpb_g=gpb_g, gs_g=gs_g, gpb_d=gpb_d, gs_d=gs_d,
+        n_gu_steps=n_gu_steps, n_down_in=n_down_in, bo_gu=bo_gu, eps=ln_eps,
+        stacked=stacked)
+    out_spec = pl.BlockSpec((npad, bo_d), o_map, memory_space=vm)
+    scratch = [pltpu.VMEM((npad, GU), jnp.float32),    # gu
+               pltpu.VMEM((npad, F), jnp.float32),     # ff
+               pltpu.VMEM((npad, bo_d), jnp.float32)]  # down acc
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((npad, D), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * (2 * Rg * GU + F * D),
+            bytes_accessed=Rg * GU + Rd * D + npad * (2 * Rg + D) * 4,
+            transcendentals=npad * F),
+        interpret=interpret,
+    )
+    if stacked:
+        lidx = jnp.atleast_1d(layer_index).astype(jnp.int32)
+        inner = kern
+        kern = lambda s_ref, *refs: inner(*refs)
+        out = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+                out_specs=out_spec, scratch_shapes=scratch),
+            **common,
+        )(lidx, *args)
+    else:
+        out = pl.pallas_call(
+            kern, grid=grid, in_specs=in_specs, out_specs=out_spec,
+            scratch_shapes=scratch, **common,
+        )(*args)
+    return out[:n].reshape(*lead, D)
+
+
 def batched_rows_ok(x: jax.Array, qw: QuantizedLinear,
                     vmem_cap_mb: int = 8) -> bool:
     """Feasibility check for the BATCHED-row regime (rows > 128, bf16-MXU

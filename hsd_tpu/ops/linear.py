@@ -305,6 +305,39 @@ def apply_linear(w, x: jax.Array, b: Optional[jax.Array] = None,
     return y
 
 
+def apply_mlp(wgu, wdown, x: jax.Array, ln_w: jax.Array, eps: float,
+              layer: Optional[jax.Array] = None, path: Optional[str] = None,
+              mxu_bf16: bool = False) -> jax.Array:
+    """SwiGLU MLP block: y = (silu(g) * u) @ wdown with [g | u] =
+    rmsnorm(x, ln_w) @ wgu (wgu = fused gate|up, transformer.fuse_params).
+    Returns the MLP output WITHOUT the residual add.
+
+    When both weights are packed-int4 symmetric QuantizedLinear with a legal
+    block plan and decode-regime row counts, the WHOLE block runs as ONE
+    pallas_call (gptq_pallas.gptq_mlp_int4): one kernel boundary per layer
+    instead of two, the silu/mul and both -8 corrections in-kernel, and the
+    wdown tile prefetching during the gu phase. Every other shape keeps the
+    two-apply_linear composition bit-identically."""
+    if isinstance(wgu, QuantizedLinear) and isinstance(wdown, QuantizedLinear):
+        eff = path if path not in (None, "auto") else GPTQ_PATH
+        on_tpu = jax.default_backend() == "tpu"
+        same_stack = (wgu.qweight.ndim == 3) == (wdown.qweight.ndim == 3)
+        stacked_ok = same_stack and (
+            (layer is not None) == (wgu.qweight.ndim == 3))
+        if eff != "xla" and (on_tpu or eff == "pallas") and stacked_ok:
+            from .gptq_pallas import gptq_mlp_int4, mlp_fusion_supported
+            if mlp_fusion_supported(x, wgu, wdown):
+                return gptq_mlp_int4(x, wgu, wdown, ln_w, ln_eps=eps,
+                                     layer_index=layer,
+                                     interpret=not on_tpu)
+    F = wdown.din if isinstance(wdown, QuantizedLinear) else wdown.shape[-2]
+    gu = apply_linear(wgu, x, layer=layer, path=path, rms=(ln_w, eps),
+                      mxu_bf16=mxu_bf16)
+    ff = jax.nn.silu(gu[..., :F]) * gu[..., F:]
+    return apply_linear(wdown, ff, layer=layer, path=path,
+                        mxu_bf16=mxu_bf16)
+
+
 def init_dense(key: jax.Array, shape, dtype=jnp.bfloat16, scale=None) -> jax.Array:
     scale = scale if scale is not None else (shape[0] ** -0.5)
     return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)

@@ -390,3 +390,99 @@ def test_batched_rows_gate():
         scales=jnp.ones((40, 27648), jnp.float32), zeros=None)
     assert batched_rows_ok(jnp.zeros((1024, 5120), jnp.float32), qw14)
     assert not batched_rows_ok(jnp.zeros((1280, 5120), jnp.float32), qw14)
+
+
+def _mk_mlp(key, D=512, F=1536, bits=4, symmetric=True):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    qgu = quantize(jax.random.normal(k1, (D, 2 * F)) * 0.05, bits=bits,
+                   symmetric=symmetric)
+    qdn = quantize(jax.random.normal(k2, (F, D)) * 0.05, bits=bits,
+                   symmetric=symmetric)
+    ln = jnp.abs(jax.random.normal(k3, (D,))) + 0.5
+    x = jax.random.normal(k4, (3, D), jnp.float32)
+    return qgu, qdn, ln, x
+
+
+def _mlp_ref(qgu, qdn, ln, x, F):
+    xf = x.astype(jnp.float32)
+    xn = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + 1e-6) * ln
+    gu = xn @ dequantize(qgu, jnp.float32)
+    ff = jax.nn.silu(gu[:, :F]) * gu[:, F:]
+    return ff @ dequantize(qdn, jnp.float32)
+
+
+def test_fused_mlp_kernel_interpret():
+    """Single-pallas_call SwiGLU MLP (gu -> silu*up -> down with both -8
+    corrections in-kernel) matches the dequantize composition."""
+    from hsd_tpu.ops.gptq_pallas import gptq_mlp_int4, mlp_fusion_supported
+    qgu, qdn, ln, x = _mk_mlp(jax.random.PRNGKey(0))
+    assert mlp_fusion_supported(x, qgu, qdn)
+    want = _mlp_ref(qgu, qdn, ln, x, 1536)
+    got = gptq_mlp_int4(x, qgu, qdn, ln, ln_eps=1e-6, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mlp_stacked_interpret():
+    from hsd_tpu.ops.gptq_pallas import gptq_mlp_int4
+    qgu, qdn, ln, x = _mk_mlp(jax.random.PRNGKey(1))
+    sgu = jax.tree.map(lambda *a: jnp.stack(a), qgu, qgu, qgu)
+    sdn = jax.tree.map(lambda *a: jnp.stack(a), qdn, qdn, qdn)
+    want = _mlp_ref(qgu, qdn, ln, x, 1536)
+    got = gptq_mlp_int4(x, sgu, sdn, ln, ln_eps=1e-6,
+                        layer_index=jnp.int32(2), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mlp_multiblock_down(monkeypatch):
+    """Multi-in-block down phase (the 14B wdown splits its packed rows)."""
+    import hsd_tpu.ops.gptq_pallas as gp
+    orig = gp._pick_block_in_packed
+    monkeypatch.setattr(gp, "_pick_block_in_packed",
+                        lambda rows, gs, target=3584: orig(rows, gs, 256))
+    qgu, qdn, ln, x = _mk_mlp(jax.random.PRNGKey(2))
+    plan = gp._mlp_blocks(qgu, qdn, 8)
+    assert plan is not None and plan[1] == 256  # bid -> n_down_in = 3
+    want = _mlp_ref(qgu, qdn, ln, x, 1536)
+    got = jax.jit(lambda *a: gp.gptq_mlp_int4(
+        *a, ln_eps=1e-6, interpret=True))(x, qgu, qdn, ln)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mlp_gating():
+    """mlp_fusion_supported rejects asymmetric/int8/perm/batched shapes."""
+    from hsd_tpu.ops.gptq_pallas import mlp_fusion_supported
+    qgu, qdn, ln, x = _mk_mlp(jax.random.PRNGKey(3))
+    assert mlp_fusion_supported(x, qgu, qdn)
+    a_gu, a_dn, _, _ = _mk_mlp(jax.random.PRNGKey(3), symmetric=False)
+    assert not mlp_fusion_supported(x, a_gu, a_dn)       # asymmetric
+    i8gu, i8dn, _, _ = _mk_mlp(jax.random.PRNGKey(3), bits=8)
+    assert not mlp_fusion_supported(x, i8gu, i8dn)       # int8 codes
+    perm = jnp.arange(512, dtype=jnp.int32)
+    assert not mlp_fusion_supported(x, qgu._replace(perm=perm), qdn)
+    big = jnp.zeros((40, 512), jnp.float32)              # batched rows
+    assert not mlp_fusion_supported(big, qgu, qdn)
+    assert not mlp_fusion_supported(x, qdn, qgu)         # mismatched pair
+
+
+def test_apply_mlp_dispatch_and_fallback():
+    """apply_mlp: forced-pallas fused path matches the two-call fallback
+    (which itself must be bit-identical to the inline composition)."""
+    from hsd_tpu.ops.linear import apply_mlp
+    qgu, qdn, ln, x = _mk_mlp(jax.random.PRNGKey(4))
+    want = _mlp_ref(qgu, qdn, ln, x, 1536)
+    got_fb = apply_mlp(qgu, qdn, x, ln, 1e-6, path="xla")
+    np.testing.assert_allclose(np.asarray(got_fb), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    got_pl = apply_mlp(qgu, qdn, x, ln, 1e-6, path="pallas")
+    np.testing.assert_allclose(np.asarray(got_pl), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # stacked pair + layer index through the dispatcher
+    sgu = jax.tree.map(lambda *a: jnp.stack(a), qgu, qgu)
+    sdn = jax.tree.map(lambda *a: jnp.stack(a), qdn, qdn)
+    got_st = apply_mlp(sgu, sdn, x, ln, 1e-6, layer=jnp.int32(1),
+                       path="pallas")
+    np.testing.assert_allclose(np.asarray(got_st), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

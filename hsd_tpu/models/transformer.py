@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from ..engine.kvcache import (KVCache, append_layer_stacked,
                               append_layer_stacked_ragged)
-from ..ops.linear import apply_linear, apply_mlp, init_dense
+from ..ops.linear import (apply_attn_mlp, apply_linear, apply_mlp,
+                          attn_mlp_fusable, init_dense)
 
 
 class QuantizedEmbedding(NamedTuple):
@@ -511,7 +512,19 @@ def forward(cfg: ModelConfig, params: ModelParams, tokens: jax.Array,
                     lengths if lengths is not None else cache.length,
                     cache.start, attn_bias, staging_at=staging_at,
                     mask=dec_mask)
-        x = x + reduce_tp(lin("wo", att.reshape(B, T, H * hd)))
+        att2 = att.reshape(B, T, H * hd)
+        if ("wgu" in names and tp_axis is None
+                and {"wo", "wgu", "wdown"} <= qnames
+                and attn_mlp_fusable(att2, names["wo"], names["wgu"],
+                                     names["wdown"], path=cfg.gptq_path,
+                                     layer=idx)):
+            # decode-regime packed-int4 layer tail: wo + residual + SwiGLU
+            # MLP + residual as ONE pallas_call (2 kernels per layer total)
+            x = apply_attn_mlp(att2, x, names["wo"], names["wgu"],
+                               names["wdown"], lp["ln2"],
+                               cfg.rms_norm_eps, layer=idx)
+            return (x, k_all, v_all), (x_in if collect_inputs else None)
+        x = x + reduce_tp(lin("wo", att2))
         if "gate" in names:
             h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
             x = x + _moe_ffn(cfg, lp, h, tp_axis=tp_axis)

@@ -614,6 +614,117 @@ def _kernel_mlp_int4(xf_ref, ln_ref, xe_ref, xo_ref, wg_ref, sg_ref,
             o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _kernel_attn_mlp_int4(ae_ref, ao_ref, res_ref, ln_ref, wo_ref, so_ref,
+                          wg_ref, sg_ref, wd_ref, sd_ref, o_ref,
+                          xn_ref, gu_ref, ff_ref, acc_ref, *,
+                          gpb_w, gs_w, gpb_g, gs_g, gpb_d, gs_d,
+                          n_wo_steps, n_gu_steps, n_down_in,
+                          bo_wo, bo_gu, eps, stacked=False):
+    """The layer's whole post-attention tail in ONE pallas_call:
+    x' = x + att @ Wo, then the fused SwiGLU MLP of _kernel_mlp_int4 on x'
+    (rmsnorm in-kernel), returning x' + mlp. Three packed-int4 symmetric
+    weight streams phase through one grid; each phase's first tile
+    prefetches during the previous phase (its BlockSpec index holds still).
+    Leaves 2 pallas_calls per decode layer: wqkv and this."""
+    s = pl.program_id(0)
+    in_wo = s < n_wo_steps
+    in_gu = jnp.logical_and(s >= n_wo_steps, s < n_wo_steps + n_gu_steps)
+
+    @pl.when(in_wo)
+    def _():
+        b = (wo_ref[0] if stacked else wo_ref[:]).astype(jnp.int32)
+        in_p, out_blk = b.shape                            # [Rw, bo_wo]
+        sp = (so_ref[0] if stacked else so_ref[:]).astype(jnp.float32)
+        sl, sh = sp[0, 0], sp[1, 0]
+        lf = (b & 15).astype(jnp.float32).reshape(gpb_w, gs_w, out_blk)
+        hf = (b >> 4).astype(jnp.float32).reshape(gpb_w, gs_w, out_blk)
+        wl = (lf * sl[:, None, :]).reshape(in_p, out_blk)
+        wh = (hf * sh[:, None, :]).reshape(in_p, out_blk)
+        ae = ae_ref[:].astype(jnp.float32)
+        ao = ao_ref[:].astype(jnp.float32)
+        acc = (jnp.dot(ae, wl, preferred_element_type=jnp.float32)
+               + jnp.dot(ao, wh, preferred_element_type=jnp.float32))
+        npad = ae.shape[0]
+        ge = jnp.sum(ae.reshape(npad, gpb_w, gs_w), axis=2)
+        go = jnp.sum(ao.reshape(npad, gpb_w, gs_w), axis=2)
+        acc -= 8.0 * (jnp.dot(ge, sl, preferred_element_type=jnp.float32)
+                      + jnp.dot(go, sh, preferred_element_type=jnp.float32))
+        off = pl.multiple_of(s * bo_wo, 128)
+        xn_ref[:, pl.ds(off, bo_wo)] = (
+            res_ref[:].astype(jnp.float32) + acc)
+
+    @pl.when(in_gu)
+    def _():
+        sg_step = s - n_wo_steps
+        b = (wg_ref[0] if stacked else wg_ref[:]).astype(jnp.int32)
+        in_p, out_blk = b.shape                            # [Rg, bo_gu]
+        sp = (sg_ref[0] if stacked else sg_ref[:]).astype(jnp.float32)
+        sl, sh = sp[0, 0], sp[1, 0]
+        lf = (b & 15).astype(jnp.float32).reshape(gpb_g, gs_g, out_blk)
+        hf = (b >> 4).astype(jnp.float32).reshape(gpb_g, gs_g, out_blk)
+        wl = (lf * sl[:, None, :]).reshape(in_p, out_blk)
+        wh = (hf * sh[:, None, :]).reshape(in_p, out_blk)
+        xf = xn_ref[:]
+        r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
+        ln2 = ln_ref[:]                                    # [2, Rg]
+        xe = xf[:, :in_p] * r * ln2[0][None, :]
+        xo = xf[:, in_p:] * r * ln2[1][None, :]
+        acc = (jnp.dot(xe, wl, preferred_element_type=jnp.float32)
+               + jnp.dot(xo, wh, preferred_element_type=jnp.float32))
+        npad = xe.shape[0]
+        ge = jnp.sum(xe.reshape(npad, gpb_g, gs_g), axis=2)
+        go = jnp.sum(xo.reshape(npad, gpb_g, gs_g), axis=2)
+        acc -= 8.0 * (jnp.dot(ge, sl, preferred_element_type=jnp.float32)
+                      + jnp.dot(go, sh, preferred_element_type=jnp.float32))
+        off = pl.multiple_of(sg_step * bo_gu, 128)
+        gu_ref[:, pl.ds(off, bo_gu)] = acc
+
+    @pl.when(s == n_wo_steps + n_gu_steps)
+    def _():
+        gu = gu_ref[:]
+        F = gu.shape[1] // 2
+        g = gu[:, :F]
+        ff_ref[:] = g * jax.nn.sigmoid(g) * gu[:, F:]
+
+    @pl.when(s >= n_wo_steps + n_gu_steps)
+    def _():
+        sd_step = s - n_wo_steps - n_gu_steps
+        i_d = sd_step % n_down_in
+        od = sd_step // n_down_in
+
+        @pl.when(i_d == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        b = (wd_ref[0] if stacked else wd_ref[:]).astype(jnp.int32)
+        in_p, out_blk = b.shape                            # [bid, bo_d]
+        sp = (sd_ref[0] if stacked else sd_ref[:]).astype(jnp.float32)
+        sl, sh = sp[0, 0], sp[1, 0]
+        lf = (b & 15).astype(jnp.float32).reshape(gpb_d, gs_d, out_blk)
+        hf = (b >> 4).astype(jnp.float32).reshape(gpb_d, gs_d, out_blk)
+        wl = (lf * sl[:, None, :]).reshape(in_p, out_blk)
+        wh = (hf * sh[:, None, :]).reshape(in_p, out_blk)
+        half = n_down_in * in_p                            # F/2
+        off = pl.multiple_of(i_d * in_p, 128)
+        ffe = ff_ref[:, pl.ds(off, in_p)]
+        ffo = ff_ref[:, pl.ds(half + off, in_p)]
+        acc_ref[:] += (jnp.dot(ffe, wl, preferred_element_type=jnp.float32)
+                       + jnp.dot(ffo, wh, preferred_element_type=jnp.float32))
+        npad = ffe.shape[0]
+        ge = jnp.sum(ffe.reshape(npad, gpb_d, gs_d), axis=2)
+        go = jnp.sum(ffo.reshape(npad, gpb_d, gs_d), axis=2)
+        acc_ref[:] -= 8.0 * (
+            jnp.dot(ge, sl, preferred_element_type=jnp.float32)
+            + jnp.dot(go, sh, preferred_element_type=jnp.float32))
+
+        @pl.when(i_d == n_down_in - 1)
+        def _():
+            ob = out_blk
+            xoff = pl.multiple_of(od * ob, 128)
+            o_ref[:] = (xn_ref[:, pl.ds(xoff, ob)]
+                        + acc_ref[:]).astype(o_ref.dtype)
+
+
 def _divisor_block(dout: int, limit: int) -> int:
     """Largest 128-multiple divisor of dout that is <= limit (0 if none)."""
     for bo in range(min(dout, max(limit, 0)) // 128 * 128, 0, -128):
@@ -767,6 +878,200 @@ def gptq_mlp_int4(x: jax.Array, wgu: QuantizedLinear, wdown: QuantizedLinear,
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * (2 * Rg * GU + F * D),
             bytes_accessed=Rg * GU + Rd * D + npad * (2 * Rg + D) * 4,
+            transcendentals=npad * F),
+        interpret=interpret,
+    )
+    if stacked:
+        lidx = jnp.atleast_1d(layer_index).astype(jnp.int32)
+        inner = kern
+        kern = lambda s_ref, *refs: inner(*refs)
+        out = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+                out_specs=out_spec, scratch_shapes=scratch),
+            **common,
+        )(lidx, *args)
+    else:
+        out = pl.pallas_call(
+            kern, grid=grid, in_specs=in_specs, out_specs=out_spec,
+            scratch_shapes=scratch, **common,
+        )(*args)
+    return out[:n].reshape(*lead, D)
+
+
+_AM_WO_BUDGET = 24 * 1024 * 1024
+_AM_GU_BUDGET = 37 * 1024 * 1024
+_AM_DOWN_BUDGET = 52 * 1024 * 1024
+
+
+def _attn_mlp_blocks(wo: QuantizedLinear, wgu: QuantizedLinear,
+                     wdown: QuantizedLinear, npad: int):
+    """Static block plan for the attn+MLP mega-kernel, or None.
+    Returns (bo_wo, bo_gu, bid, bo_d, gs_w, gs_g, gs_d)."""
+    base = _mlp_blocks(wgu, wdown, npad)
+    if base is None:
+        return None
+    if not wo.packed_int4 or wo.zeros is not None or wo.perm is not None:
+        return None
+    Rw, D = wo.qweight.shape[-2:]
+    Rg = wgu.qweight.shape[-2]
+    if D != 2 * Rg:                        # wo out must feed the MLP in-dim
+        return None
+    gw = wo.scales.shape[-2]
+    if gw % 2:
+        return None
+    gs_w = (2 * Rw) // gw
+    if gs_w % 64 or Rw % gs_w or Rw > 3584:  # single in-block wo phase
+        return None
+    _, bid, _, gs_g, gs_d = base
+    # tighter per-stream budgets: three weight streams share VMEM
+    bo_wo = _divisor_block(D, _AM_WO_BUDGET // (14 * Rw + 16 * npad))
+    GU = wgu.qweight.shape[-1]
+    bo_gu = _divisor_block(GU, _AM_GU_BUDGET // (14 * Rg + 16 * npad))
+    Dd = wdown.qweight.shape[-1]
+    bo_d = _divisor_block(Dd, _AM_DOWN_BUDGET // (14 * bid + 16 * npad))
+    if not bo_wo or not bo_gu or not bo_d:
+        return None
+    return bo_wo, bo_gu, bid, bo_d, gs_w, gs_g, gs_d
+
+
+def attn_mlp_fusion_supported(att: jax.Array, wo, wgu, wdown) -> bool:
+    """Static gate for gptq_attn_mlp_int4 (wo + residual + SwiGLU MLP +
+    residual as one pallas_call): all three packed-int4 symmetric, legal
+    plan, decode-regime rows."""
+    import math
+    if not all(isinstance(w, QuantizedLinear) for w in (wo, wgu, wdown)):
+        return False
+    n = math.prod(att.shape[:-1])
+    if n > 32:
+        return False
+    if att.shape[-1] != 2 * wo.qweight.shape[-2]:
+        return False
+    npad = max(8, ((n + 7) // 8) * 8)
+    return _attn_mlp_blocks(wo, wgu, wdown, npad) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ln_eps"))
+def gptq_attn_mlp_int4(att: jax.Array, resid: jax.Array,
+                       wo: QuantizedLinear, wgu: QuantizedLinear,
+                       wdown: QuantizedLinear, ln: jax.Array,
+                       ln_eps: float = 1e-6, layer_index=None,
+                       interpret: bool = False) -> jax.Array:
+    """One pallas_call for the layer tail: x' = resid + att @ deq(wo);
+    return x' + (silu(g) * u) @ deq(wdown) with [g | u] =
+    rmsnorm(x', ln) @ deq(wgu). att: [..., Dh]; resid: [..., D];
+    returns [..., D] in resid.dtype (the full new layer activation)."""
+    stacked = layer_index is not None
+    Rw, D = wo.qweight.shape[-2:]
+    Rg, GU = wgu.qweight.shape[-2:]
+    Rd, _ = wdown.qweight.shape[-2:]
+    F = 2 * Rd
+    gw = wo.scales.shape[-2]
+    gg, gd = wgu.scales.shape[-2], wdown.scales.shape[-2]
+    lead = att.shape[:-1]
+    a2 = att.reshape(-1, 2 * Rw)
+    r2 = resid.reshape(-1, D)
+    n = a2.shape[0]
+    npad = max(8, ((n + 7) // 8) * 8)
+    if npad != n:
+        a2 = jnp.pad(a2, ((0, npad - n), (0, 0)))
+        r2 = jnp.pad(r2, ((0, npad - n), (0, 0)))
+    plan = _attn_mlp_blocks(wo, wgu, wdown, npad)
+    if plan is None:
+        raise ValueError("unsupported attn+MLP shapes; gate with "
+                         "attn_mlp_fusion_supported")
+    bo_wo, bo_gu, bid, bo_d, gs_w, gs_g, gs_d = plan
+    gpb_w, gpb_g, gpb_d = Rw // gs_w, Rg // gs_g, bid // gs_d
+    n_wo_steps = D // bo_wo
+    n_gu_steps = GU // bo_gu
+    n_down_in = Rd // bid
+    n_down_out = D // bo_d
+    grid = (n_wo_steps + n_gu_steps + n_down_out * n_down_in,)
+
+    af = a2.astype(jnp.float32)
+    ae, ao = af[:, :Rw], af[:, Rw:]
+    ln2 = ln.astype(jnp.float32).reshape(2, Rg)
+
+    def _plane(scales, gtot, nblk, gpb, dout):
+        s3 = jnp.stack([scales[..., :gtot // 2, :],
+                        scales[..., gtot // 2:, :]], axis=-3)
+        return s3.reshape(*scales.shape[:-2], 2, nblk, gpb, dout)
+
+    so = _plane(wo.scales, gw, 1, gpb_w, D)
+    sg = _plane(wgu.scales, gg, 1, gpb_g, GU)
+    sd = _plane(wdown.scales, gd, n_down_in, gpb_d, D)
+
+    def _wo_o(s):
+        return jnp.minimum(s, n_wo_steps - 1)
+
+    def _gu_o(s):
+        return jnp.clip(s - n_wo_steps, 0, n_gu_steps - 1)
+
+    def _dn(s):
+        t = jnp.maximum(s - n_wo_steps - n_gu_steps, 0)
+        return t % n_down_in, t // n_down_in
+
+    if stacked:
+        wl_ = (1,)
+        wo_map = lambda s, p: (p[0], 0, _wo_o(s))
+        so_map = lambda s, p: (p[0], 0, 0, 0, _wo_o(s))
+        wg_map = lambda s, p: (p[0], 0, _gu_o(s))
+        sg_map = lambda s, p: (p[0], 0, 0, 0, _gu_o(s))
+        wd_map = lambda s, p: (p[0], *_dn(s))
+        sd_map = lambda s, p: (p[0], 0, _dn(s)[0], 0, _dn(s)[1])
+        c_map = lambda s, p: (0, 0)
+        r_map = lambda s, p: (0, _wo_o(s))
+        o_map = lambda s, p: (0, _dn(s)[1])
+    else:
+        wl_ = ()
+        wo_map = lambda s: (0, _wo_o(s))
+        so_map = lambda s: (0, 0, 0, _wo_o(s))
+        wg_map = lambda s: (0, _gu_o(s))
+        sg_map = lambda s: (0, 0, 0, _gu_o(s))
+        wd_map = lambda s: _dn(s)
+        sd_map = lambda s: (0, _dn(s)[0], 0, _dn(s)[1])
+        c_map = lambda s: (0, 0)
+        r_map = lambda s: (0, _wo_o(s))
+        o_map = lambda s: (0, _dn(s)[1])
+
+    vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((npad, Rw), c_map, memory_space=vm),          # ae
+        pl.BlockSpec((npad, Rw), c_map, memory_space=vm),          # ao
+        pl.BlockSpec((npad, bo_wo), r_map, memory_space=vm),       # resid
+        pl.BlockSpec((2, Rg), c_map, memory_space=vm),             # ln2
+        pl.BlockSpec((*wl_, Rw, bo_wo), wo_map, memory_space=vm),  # wo
+        pl.BlockSpec((*wl_, 2, 1, gpb_w, bo_wo), so_map,
+                     memory_space=vm),
+        pl.BlockSpec((*wl_, Rg, bo_gu), wg_map, memory_space=vm),  # wgu
+        pl.BlockSpec((*wl_, 2, 1, gpb_g, bo_gu), sg_map,
+                     memory_space=vm),
+        pl.BlockSpec((*wl_, bid, bo_d), wd_map, memory_space=vm),  # wdown
+        pl.BlockSpec((*wl_, 2, 1, gpb_d, bo_d), sd_map,
+                     memory_space=vm),
+    ]
+    args = [ae, ao, r2.astype(jnp.float32), ln2, wo.qweight, so,
+            wgu.qweight, sg, wdown.qweight, sd]
+    kern = functools.partial(
+        _kernel_attn_mlp_int4, gpb_w=gpb_w, gs_w=gs_w, gpb_g=gpb_g,
+        gs_g=gs_g, gpb_d=gpb_d, gs_d=gs_d, n_wo_steps=n_wo_steps,
+        n_gu_steps=n_gu_steps, n_down_in=n_down_in, bo_wo=bo_wo,
+        bo_gu=bo_gu, eps=ln_eps, stacked=stacked)
+    out_spec = pl.BlockSpec((npad, bo_d), o_map, memory_space=vm)
+    scratch = [pltpu.VMEM((npad, D), jnp.float32),     # x' = resid + wo
+               pltpu.VMEM((npad, GU), jnp.float32),    # gu
+               pltpu.VMEM((npad, F), jnp.float32),     # ff
+               pltpu.VMEM((npad, bo_d), jnp.float32)]  # down acc
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((npad, D), resid.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=124 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * (2 * Rw * D + 2 * Rg * GU + F * D),
+            bytes_accessed=Rw * D + Rg * GU + Rd * D
+            + npad * (2 * Rw + 2 * D) * 4,
             transcendentals=npad * F),
         interpret=interpret,
     )

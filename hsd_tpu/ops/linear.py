@@ -338,6 +338,37 @@ def apply_mlp(wgu, wdown, x: jax.Array, ln_w: jax.Array, eps: float,
                         mxu_bf16=mxu_bf16)
 
 
+def attn_mlp_fusable(att: jax.Array, wo, wgu, wdown,
+                     path: Optional[str] = None,
+                     layer: Optional[jax.Array] = None) -> bool:
+    """Static check: can the layer tail (wo + residual + SwiGLU MLP +
+    residual) run as ONE pallas_call (gptq_pallas.gptq_attn_mlp_int4)?
+    Same gating rules as apply_mlp's fused path, extended to wo."""
+    if not all(isinstance(w, QuantizedLinear) for w in (wo, wgu, wdown)):
+        return False
+    eff = path if path not in (None, "auto") else GPTQ_PATH
+    on_tpu = jax.default_backend() == "tpu"
+    ndims = {w.qweight.ndim for w in (wo, wgu, wdown)}
+    stacked_ok = (len(ndims) == 1
+                  and (layer is not None) == (ndims.pop() == 3))
+    if not (eff != "xla" and (on_tpu or eff == "pallas") and stacked_ok):
+        return False
+    from .gptq_pallas import attn_mlp_fusion_supported
+    return attn_mlp_fusion_supported(att, wo, wgu, wdown)
+
+
+def apply_attn_mlp(att: jax.Array, x: jax.Array, wo, wgu, wdown,
+                   ln_w: jax.Array, eps: float,
+                   layer: Optional[jax.Array] = None) -> jax.Array:
+    """Layer tail as one fused pallas_call: returns the NEW layer
+    activation x' + mlp(rmsnorm(x')) with x' = x + att @ wo. Caller must
+    gate with attn_mlp_fusable."""
+    from .gptq_pallas import gptq_attn_mlp_int4
+    return gptq_attn_mlp_int4(att, x, wo, wgu, wdown, ln_w, ln_eps=eps,
+                              layer_index=layer,
+                              interpret=jax.default_backend() != "tpu")
+
+
 def init_dense(key: jax.Array, shape, dtype=jnp.bfloat16, scale=None) -> jax.Array:
     scale = scale if scale is not None else (shape[0] ** -0.5)
     return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)

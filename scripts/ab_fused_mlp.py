@@ -30,6 +30,7 @@ MAX_NEW = int(os.environ.get("AB_NEW", 96))
 REPS = int(os.environ.get("AB_REPS", 3))
 
 _supported = gptq_pallas.mlp_fusion_supported
+_am_supported = gptq_pallas.attn_mlp_fusion_supported
 
 
 def main():
@@ -46,10 +47,12 @@ def main():
     eng = EngineConfig(max_new_tokens=MAX_NEW, temperature=1.0)
     prompt = (jnp.arange(32, dtype=jnp.int32) % 1000) + 10
 
-    for fused in (False, True):
+    for mode in ("two-call", "fused-mlp", "attn-mlp"):
         gptq_pallas.mlp_fusion_supported = (
-            _supported if fused else (lambda *a: False))
-        label = "fused-mlp" if fused else "two-call "
+            _supported if mode == "fused-mlp" else (lambda *a: False))
+        gptq_pallas.attn_mlp_fusion_supported = (
+            _am_supported if mode == "attn-mlp" else (lambda *a: False))
+        label = f"{mode:9s}"
         gen = make_autoregressive(cfg, eng)
         toks, length = gen(params, prompt, jnp.int32(32),
                            jax.random.PRNGKey(1))

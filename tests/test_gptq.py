@@ -486,3 +486,76 @@ def test_apply_mlp_dispatch_and_fallback():
                        path="pallas")
     np.testing.assert_allclose(np.asarray(got_st), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_attn_mlp_kernel_interpret():
+    """Mega-kernel (wo + residual + SwiGLU MLP + residual in one
+    pallas_call) matches the dequantize composition, incl. stacked and
+    multi-block plans."""
+    import hsd_tpu.ops.gptq_pallas as gp
+    D, F = 512, 1536
+    ks = jax.random.split(jax.random.PRNGKey(9), 8)
+    qwo = quantize(jax.random.normal(ks[0], (D, D)) * 0.05, bits=4,
+                   symmetric=True)
+    qgu = quantize(jax.random.normal(ks[1], (D, 2 * F)) * 0.05, bits=4,
+                   symmetric=True)
+    qdn = quantize(jax.random.normal(ks[2], (F, D)) * 0.05, bits=4,
+                   symmetric=True)
+    ln = jnp.abs(jax.random.normal(ks[3], (D,))) + 0.5
+    att = jax.random.normal(ks[4], (3, D), jnp.float32)
+    resid = jax.random.normal(ks[5], (3, D), jnp.float32)
+    assert gp.attn_mlp_fusion_supported(att, qwo, qgu, qdn)
+    xn = resid + att @ dequantize(qwo, jnp.float32)
+    xr = xn * jax.lax.rsqrt(
+        jnp.mean(xn * xn, -1, keepdims=True) + 1e-6) * ln
+    gu = xr @ dequantize(qgu, jnp.float32)
+    ff = jax.nn.silu(gu[:, :F]) * gu[:, F:]
+    want = xn + ff @ dequantize(qdn, jnp.float32)
+    got = gp.gptq_attn_mlp_int4(att, resid, qwo, qgu, qdn, ln,
+                                ln_eps=1e-6, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    st = lambda q: jax.tree.map(lambda *a: jnp.stack(a), q, q)
+    got_st = gp.gptq_attn_mlp_int4(att, resid, st(qwo), st(qgu), st(qdn),
+                                   ln, ln_eps=1e-6,
+                                   layer_index=jnp.int32(1), interpret=True)
+    np.testing.assert_allclose(np.asarray(got_st), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # gating: asymmetric wo / batched rows / mismatched wo out-dim
+    a_wo = quantize(jax.random.normal(ks[6], (D, D)) * 0.05, bits=4,
+                    symmetric=False)
+    assert not gp.attn_mlp_fusion_supported(att, a_wo, qgu, qdn)
+    assert not gp.attn_mlp_fusion_supported(
+        jnp.zeros((40, D), jnp.float32), qwo, qgu, qdn)
+    assert not gp.attn_mlp_fusion_supported(att, qdn, qgu, qdn)
+
+
+def test_attn_mlp_multiblock_interpret(monkeypatch):
+    """Shrunk budgets force multi-out-block wo and multi-in-block down."""
+    import hsd_tpu.ops.gptq_pallas as gp
+    monkeypatch.setattr(gp, "_AM_WO_BUDGET", 1024 * 1024)
+    for name in ("_AM_GU_BUDGET", "_AM_DOWN_BUDGET"):
+        monkeypatch.setattr(gp, name, 3 * 1024 * 1024)
+    D, F = 512, 1536
+    ks = jax.random.split(jax.random.PRNGKey(10), 8)
+    qwo = quantize(jax.random.normal(ks[0], (D, D)) * 0.05, bits=4,
+                   symmetric=True)
+    qgu = quantize(jax.random.normal(ks[1], (D, 2 * F)) * 0.05, bits=4,
+                   symmetric=True)
+    qdn = quantize(jax.random.normal(ks[2], (F, D)) * 0.05, bits=4,
+                   symmetric=True)
+    ln = jnp.abs(jax.random.normal(ks[3], (D,))) + 0.5
+    att = jax.random.normal(ks[4], (3, D), jnp.float32)
+    resid = jax.random.normal(ks[5], (3, D), jnp.float32)
+    plan = gp._attn_mlp_blocks(qwo, qgu, qdn, 8)
+    assert plan is not None and plan[0] < D          # multi-block wo
+    xn = resid + att @ dequantize(qwo, jnp.float32)
+    xr = xn * jax.lax.rsqrt(
+        jnp.mean(xn * xn, -1, keepdims=True) + 1e-6) * ln
+    gu = xr @ dequantize(qgu, jnp.float32)
+    ff = jax.nn.silu(gu[:, :F]) * gu[:, F:]
+    want = xn + ff @ dequantize(qdn, jnp.float32)
+    got = jax.jit(lambda *a: gp.gptq_attn_mlp_int4(
+        *a, ln_eps=1e-6, interpret=True))(att, resid, qwo, qgu, qdn, ln)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
